@@ -1,0 +1,59 @@
+"""hyphy_tpu — a TPU-native phylogenetic likelihood framework.
+
+A brand-new JAX/XLA/Pallas implementation of the capabilities of HyPhy
+(veg/hyphy): maximum-likelihood fitting of nucleotide / amino-acid / codon
+substitution models on phylogenetic trees, and the standard selection
+analyses built on top (FEL, SLAC, MEME, FUBAR, BUSTED, RELAX, aBSREL, ...).
+
+Design (TPU-first, not a port):
+  * Felsenstein pruning = level-scheduled batched ``einsum`` over a
+    ``[patterns, states]`` conditional-likelihood tensor (MXU work), not
+    per-site scalar loops (reference: ``src/core/tree_evaluator.cpp``).
+  * Per-branch transition matrices via batched matrix exponentials —
+    symmetric-eigendecomposition fast path for reversible models, batched
+    scaling-and-squaring for the general case (reference:
+    ``src/core/matrix.cpp:5537``).
+  * The outer ML fit uses JAX autodiff + bounded quasi-Newton instead of the
+    reference's derivative-free coordinate/Brent machinery
+    (``src/core/likefunc.cpp:4629``).
+  * Sites are sharded data-parallel over a ``jax.sharding.Mesh``; per-shard
+    log-likelihood contributions merge with ``psum`` — replacing the
+    reference's OpenMP/MPI backends (``src/core/likefunc.cpp:3747``).
+"""
+
+import os
+
+# fp64 must be enabled before any JAX array is created. The likelihood path
+# needs fp64 for lnL parity with the (all-double) reference engine; the TPU
+# benchmark path explicitly down-casts where profitable.
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+# Some environments force a platform via jax.config at interpreter start
+# (overriding JAX_PLATFORMS); HYPHY_TPU_PLATFORM re-overrides for tests and
+# CPU parity runs: e.g. HYPHY_TPU_PLATFORM=cpu.
+_platform = os.environ.get("HYPHY_TPU_PLATFORM")
+if _platform:
+    jax.config.update("jax_platforms", _platform)
+
+__version__ = "0.1.0"
+
+from hyphy_tpu.config import settings  # noqa: E402
+from hyphy_tpu.data.genetic_code import GeneticCode  # noqa: E402
+from hyphy_tpu.data.alignment import Alignment, read_alignment  # noqa: E402
+from hyphy_tpu.data.filter import DataFilter  # noqa: E402
+from hyphy_tpu.tree.topology import Tree  # noqa: E402
+from hyphy_tpu.likelihood import LikelihoodFunction  # noqa: E402
+
+__all__ = [
+    "Alignment",
+    "DataFilter",
+    "GeneticCode",
+    "LikelihoodFunction",
+    "Tree",
+    "read_alignment",
+    "settings",
+]

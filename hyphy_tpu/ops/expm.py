@@ -1,0 +1,118 @@
+"""Batched matrix exponentials for transition-probability matrices.
+
+Two paths, mirroring the reference's split between the generic
+scaling-and-squaring Taylor exponential (``src/core/matrix.cpp:5537``) and
+its reversible-model shortcuts (``ASSUME_REVERSIBLE_MODELS``):
+
+  * :func:`expm` — differentiable batched scaling-and-squaring with a Taylor
+    core.  Static structure (fixed term count, masked squaring ladder) so it
+    jits, vmaps, and reverse-differentiates cleanly.
+  * :func:`reversible_spectral` / :func:`spectral_propagators` — for a
+    reversible ``Q`` with stationary ``pi``, one symmetric eigendecomposition
+    yields ``P(t)`` for *every* branch as two small matmuls — the dominant
+    cost model on TPU (MXU) since all branches share the spectrum.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# enough Taylor terms that a matrix scaled to ||A|| <= 1/2 converges past
+# fp64 machine epsilon: 0.5^18/18! ~ 2e-21
+_TAYLOR_TERMS = 18
+# squaring ladder depth: supports ||Q*t|| up to 2^_MAX_SQUARINGS / 2
+_MAX_SQUARINGS = 14
+
+
+def expm(a: jnp.ndarray) -> jnp.ndarray:
+    """Matrix exponential of ``a`` ([..., n, n]), batched over leading dims.
+
+    Scaling-and-squaring: scale by 2^-s so the scaled norm is <= 1/2, run a
+    fixed-length Horner Taylor evaluation, then a masked squaring ladder
+    (per-batch-element s, static trip count). The reference's row
+    renormalization (``matrix.cpp:5837``) is applied by the caller for
+    transition matrices, not here, because `expm` is also used on
+    non-generator matrices.
+    """
+    dtype = a.dtype
+    n = a.shape[-1]
+    norm = jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1)  # inf-norm [...]
+    # s = number of squarings so norm / 2^s <= 0.5
+    s = jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30)) + 1.0)
+    s = jnp.clip(s, 0, _MAX_SQUARINGS).astype(jnp.int32)
+    scale = jnp.exp2(-s.astype(dtype))
+    a_scaled = a * scale[..., None, None]
+
+    eye = jnp.eye(n, dtype=dtype)
+    eye = jnp.broadcast_to(eye, a.shape)
+
+    # Horner: exp(A) ~ I + A(I + A/2 (I + A/3 (...)))
+    def horner(carry, k):
+        acc = eye + carry @ a_scaled / k
+        return acc, None
+
+    ks = jnp.arange(_TAYLOR_TERMS, 0, -1, dtype=dtype)
+    acc, _ = jax.lax.scan(horner, eye, ks)
+    p = acc
+
+    # masked squaring ladder
+    def square(carry, k):
+        p = carry
+        need = (k < s)[..., None, None]
+        p = jnp.where(need, p @ p, p)
+        return p, None
+
+    p, _ = jax.lax.scan(square, p, jnp.arange(_MAX_SQUARINGS, dtype=jnp.int32))
+    return p
+
+
+def row_renormalize(p: jnp.ndarray) -> jnp.ndarray:
+    """Restore exact row-stochasticity: P_ii += 1 - sum_j P_ij
+    (reference: ``matrix.cpp:5837-5852`` diag_populator)."""
+    n = p.shape[-1]
+    deficit = 1.0 - jnp.sum(p, axis=-1)
+    return p + deficit[..., None] * jnp.eye(n, dtype=p.dtype)
+
+
+def transition_matrix(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """P(t) = expm(Q * t) for Q [..., n, n] and t broadcastable to [...]."""
+    return row_renormalize(expm(q * t[..., None, None]))
+
+
+# ---------------------------------------------------------------------------
+# reversible fast path
+
+def reversible_spectral(q: jnp.ndarray, pi: jnp.ndarray):
+    """Spectral decomposition of a reversible generator.
+
+    For reversible Q with stationary pi, ``B = D^{1/2} Q D^{-1/2}`` is
+    symmetric (D = diag(pi)); then ``expm(Qt) = D^{-1/2} U e^{L t} U^T
+    D^{1/2}``.  Returns ``(left [..,n,n], eigenvalues [..,n], right
+    [..,n,n])`` with ``P(t) = left @ diag(exp(L t)) @ right``.
+
+    Zero-frequency states are guarded with a floor so absent states stay
+    inert rather than producing NaNs.
+    """
+    pi_safe = jnp.maximum(pi, 1e-300)
+    sqrt_pi = jnp.sqrt(pi_safe)
+    b = q * (sqrt_pi[..., :, None] / sqrt_pi[..., None, :])
+    b = 0.5 * (b + jnp.swapaxes(b, -1, -2))  # kill asymmetric round-off
+    lam, u = jnp.linalg.eigh(b)
+    left = u / sqrt_pi[..., :, None]
+    right = jnp.swapaxes(u, -1, -2) * sqrt_pi[..., None, :]
+    return left, lam, right
+
+
+def spectral_propagators(left, lam, right, t):
+    """P(t) for a batch of times from one spectral decomposition.
+
+    ``t[..., None]`` must broadcast against ``lam``: e.g. shared Q
+    (lam [n], t [B]) -> [B, n, n]; per-branch Q (lam [B, n], t [B]) ->
+    [B, n, n]; per-class Q with per-branch t: pass t as [B, 1].
+    """
+    el = jnp.exp(lam * t[..., None])
+    p = (left * el[..., None, :]) @ right
+    # clip tiny negative round-off; renormalize rows exactly
+    p = jnp.maximum(p, 0.0)
+    return row_renormalize(p)

@@ -1,0 +1,135 @@
+"""Felsenstein pruning as a level-scheduled scan of batched matmuls.
+
+TPU-native replacement of the reference's post-order SIMD kernel
+(``ComputeTreeBlockByBranch``, ``src/core/tree_evaluator.cpp:3556``) and its
+underflow machinery (2^64 scalers, ``src/core/tree.cpp:126-128``):
+
+  * conditional likelihood vectors (CLVs) for all nodes live in one tensor
+    ``[n_nodes+1, patterns, states]`` (last row = all-ones scratch used for
+    level padding),
+  * one scan step per tree level gathers the level's child CLVs + transition
+    matrices, does a batched ``einsum`` (MXU), multiplies siblings together
+    with ``segment_prod``, and renormalizes per (node, pattern) with a
+    running log-scale accumulator — no data-dependent control flow, exact in
+    log space, no 2^64 counters needed.
+
+Rate-class mixing (`[classes]` leading axis) is vmapped on top.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyphy_tpu.tree.topology import LevelSchedule, Tree
+
+
+class PruningData(NamedTuple):
+    """Static (per-topology) arrays driving the pruning scan."""
+
+    node_ids: jnp.ndarray     # [depth, maxW] int32, pad -> n_nodes (scratch)
+    child_ids: jnp.ndarray    # [depth, maxW, arity] int32, pad -> scratch
+    n_nodes: int
+    n_leaves: int
+    max_width: int
+    arity: int
+
+
+def build_pruning_data(tree: Tree) -> PruningData:
+    sched = LevelSchedule.build(tree)
+    return PruningData(
+        node_ids=jnp.asarray(sched.node_ids),
+        child_ids=jnp.asarray(sched.child_ids),
+        n_nodes=sched.n_nodes,
+        n_leaves=sched.n_leaves,
+        max_width=sched.node_ids.shape[1],
+        arity=sched.arity,
+    )
+
+
+def site_log_likelihoods(
+    p_matrices: jnp.ndarray,   # [n_nodes(+1), S, S]; row above each node
+    leaf_partials: jnp.ndarray,  # [n_leaves, patterns, S]
+    root_freqs: jnp.ndarray,   # [S]
+    data: PruningData,
+) -> jnp.ndarray:
+    """Per-pattern log-likelihood ``log sum_s pi_s CLV_root[p, s]``.
+
+    ``p_matrices`` may have ``n_nodes`` rows (root row unused) or
+    ``n_nodes + 1``; an identity row is appended/overwritten at the scratch
+    index so padded gathers are no-ops.
+    """
+    n_nodes = data.n_nodes
+    patterns, states = leaf_partials.shape[1], leaf_partials.shape[2]
+    dtype = leaf_partials.dtype
+
+    eye = jnp.eye(states, dtype=dtype)
+    if p_matrices.shape[0] < n_nodes + 1:
+        pad = jnp.broadcast_to(eye, (n_nodes + 1 - p_matrices.shape[0], states, states))
+        p_all = jnp.concatenate([p_matrices.astype(dtype), pad], axis=0)
+    else:
+        p_all = p_matrices.astype(dtype).at[n_nodes].set(eye)
+
+    clv = jnp.ones((n_nodes + 1 + data.max_width, patterns, states), dtype=dtype)
+    clv = clv.at[: data.n_leaves].set(leaf_partials)
+    log_scale = jnp.zeros((patterns,), dtype=dtype)
+
+    def level_step(carry, level):
+        clv, log_scale = carry
+        node_ids, child_ids = level            # [W], [W, K]
+        flat = child_ids.reshape(-1)           # [W*K]
+        cp = p_all[flat]                       # [W*K, S, S]
+        cc = clv[flat]                         # [W*K, patterns, S]
+        # child message to parent: m[b, p, i] = sum_j P[b, i, j] c[b, p, j]
+        contrib = jnp.einsum(
+            "bij,bpj->bpi", cp, cc, preferred_element_type=dtype
+        ).reshape(child_ids.shape[0], data.arity, patterns, states)
+        prod = jnp.prod(contrib, axis=1)       # [W, patterns, S]
+        mx = jnp.max(prod, axis=-1, keepdims=True)
+        mx = jnp.where(mx > 0, mx, 1.0)
+        prod = prod / mx
+        log_scale = log_scale + jnp.sum(jnp.log(mx[..., 0]), axis=0)
+        clv = clv.at[node_ids].set(prod, unique_indices=True)
+        return (clv, log_scale), None
+
+    (clv, log_scale), _ = jax.lax.scan(
+        level_step,
+        (clv, log_scale),
+        (data.node_ids, data.child_ids),
+    )
+    root_like = clv[n_nodes - 1] @ root_freqs.astype(dtype)  # [patterns]
+    root_like = jnp.maximum(root_like, jnp.finfo(dtype).tiny)
+    return jnp.log(root_like) + log_scale
+
+
+def mixture_site_log_likelihoods(
+    p_matrices: jnp.ndarray,     # [C, n_nodes(+1), S, S]
+    class_weights: jnp.ndarray,  # [C] (or [C, patterns] for site-varying)
+    leaf_partials: jnp.ndarray,
+    root_freqs: jnp.ndarray,     # [S] or [C, S]
+    data: PruningData,
+) -> jnp.ndarray:
+    """log sum_c w_c * siteL_c — rate-class mixture over vmapped pruning
+    (reference: ``PopulateConditionalProbabilities``,
+    ``src/core/likefunc2.cpp:484``)."""
+    if root_freqs.ndim == 1:
+        root_freqs = jnp.broadcast_to(
+            root_freqs, (p_matrices.shape[0],) + root_freqs.shape
+        )
+    per_class = jax.vmap(
+        lambda p, f: site_log_likelihoods(p, leaf_partials, f, data)
+    )(p_matrices, root_freqs)                                # [C, patterns]
+    if class_weights.ndim == 1:
+        logw = jnp.log(jnp.maximum(class_weights, 1e-300))[:, None]
+    else:
+        logw = jnp.log(jnp.maximum(class_weights, 1e-300))
+    return jax.scipy.special.logsumexp(per_class + logw, axis=0)
+
+
+def total_log_likelihood(site_loglik: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """lnL = sum_patterns freq_p * lnL_p (reference: likefunc.cpp:11123)."""
+    return jnp.dot(site_loglik, weights)

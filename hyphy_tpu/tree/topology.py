@@ -1,0 +1,287 @@
+"""Tree topology: flattened arrays and the level schedule for batched
+pruning.
+
+Replaces the reference's ``_TheTree`` flat representation
+(``flatLeaves/flatNodes/flatParents``, ``src/core/tree.h:336``) with a
+TPU-friendly *level schedule*: internal nodes are grouped into levels such
+that every child of a level-L node lives in a level < L.  Pruning is then a
+``lax.scan`` over levels of batched gathers + matmuls — the reference's
+post-order branch loop (``tree_evaluator.cpp:3556``) without sequential
+per-branch dependencies inside a level.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from hyphy_tpu.tree.newick import ParseNode, parse_newick
+
+
+@dataclasses.dataclass
+class Tree:
+    """A rooted (possibly multifurcating) phylogenetic tree.
+
+    Node ids: leaves ``0..n_leaves-1`` (ordered to match the data filter's
+    taxa), internal nodes in post-order after that; the root is the last id.
+    Every non-root node owns the branch to its parent, so "branch b" ==
+    "node b" throughout the engine.
+    """
+
+    names: List[str]                 # per node id
+    parent: np.ndarray               # [n_nodes] int32, root = -1
+    children: List[List[int]]        # per node id
+    n_leaves: int
+    input_lengths: np.ndarray        # [n_nodes] f64, NaN if absent
+    labels: List[Optional[str]]      # {annotation} per node
+    newick_string: str = ""
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def from_newick(text: str, leaf_order: Optional[Sequence[str]] = None) -> "Tree":
+        root = parse_newick(text)
+        return Tree.from_parse(root, leaf_order, newick=text)
+
+    @staticmethod
+    def from_parse(
+        root: ParseNode, leaf_order: Optional[Sequence[str]] = None, newick: str = ""
+    ) -> "Tree":
+        leaves: List[ParseNode] = []
+        internals: List[ParseNode] = []
+
+        def post(nd: ParseNode):
+            for c in nd.children:
+                post(c)
+            (leaves if nd.is_leaf else internals).append(nd)
+
+        post(root)
+
+        if leaf_order is not None:
+            by_name = {lf.name: lf for lf in leaves}
+            missing = [nm for nm in leaf_order if nm not in by_name]
+            if missing:
+                raise ValueError(f"tree is missing taxa: {missing[:5]}")
+            extra = set(by_name) - set(leaf_order)
+            if extra:
+                raise ValueError(f"tree has extra taxa: {sorted(extra)[:5]}")
+            leaves = [by_name[nm] for nm in leaf_order]
+
+        ordered = leaves + internals
+        ids = {id(nd): i for i, nd in enumerate(ordered)}
+        n = len(ordered)
+        parent = np.full(n, -1, dtype=np.int32)
+        children: List[List[int]] = [[] for _ in range(n)]
+        for nd in ordered:
+            me = ids[id(nd)]
+            if nd.parent is not None:
+                parent[me] = ids[id(nd.parent)]
+            # preserve the input child order (matters for newick round-trip
+            # and reference-matching output ordering)
+            children[me] = [ids[id(c)] for c in nd.children]
+        return Tree(
+            names=[nd.name for nd in ordered],
+            parent=parent,
+            children=children,
+            n_leaves=len(leaves),
+            input_lengths=np.array(
+                [nd.length if nd.length is not None else np.nan for nd in ordered]
+            ),
+            labels=[nd.label for nd in ordered],
+            newick_string=newick,
+        )
+
+    # -- basic properties ---------------------------------------------------
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.names)
+
+    @property
+    def n_internal(self) -> int:
+        return self.n_nodes - self.n_leaves
+
+    @property
+    def root(self) -> int:
+        return self.n_nodes - 1
+
+    @property
+    def n_branches(self) -> int:
+        """Every node but the root owns a branch."""
+        return self.n_nodes - 1
+
+    def is_leaf(self, node: int) -> bool:
+        return node < self.n_leaves
+
+    def branch_names(self) -> List[str]:
+        return self.names[: self.n_branches]
+
+    # -- level schedule -----------------------------------------------------
+
+    def levels(self) -> List[np.ndarray]:
+        """Internal-node ids grouped by height above the leaves."""
+        height = np.zeros(self.n_nodes, dtype=np.int64)
+        for node in range(self.n_leaves, self.n_nodes):  # post-order
+            height[node] = 1 + max(height[c] for c in self.children[node])
+        out = []
+        for h in range(1, int(height.max()) + 1):
+            ids = np.nonzero(height == h)[0]
+            ids = ids[ids >= self.n_leaves]
+            if len(ids):
+                out.append(ids.astype(np.int32))
+        return out
+
+    # -- branch selections (reference: trees.bf branch-set machinery) -------
+
+    def select_branches(self, which: str) -> np.ndarray:
+        """Branch-id mask for 'All' / 'Internal' / 'Leaves' / a {label}."""
+        n = self.n_branches
+        mask = np.zeros(n, dtype=bool)
+        key = which.strip().lower()
+        if key == "all":
+            mask[:] = True
+        elif key == "internal":
+            mask[self.n_leaves :] = True
+        elif key == "leaves":
+            mask[: self.n_leaves] = True
+        else:
+            for b in range(n):
+                lbl = self.labels[b]
+                if lbl is not None and lbl.lower() == key:
+                    mask[b] = True
+            if not mask.any():
+                raise ValueError(f"no branches labeled {which!r}")
+        return mask
+
+    def label_set(self) -> List[str]:
+        seen = []
+        for lbl in self.labels:
+            if lbl and lbl not in seen:
+                seen.append(lbl)
+        return seen
+
+    # -- export -------------------------------------------------------------
+
+    def to_newick(self, lengths: Optional[np.ndarray] = None, digits: int = 10) -> str:
+        def fmt(node: int) -> str:
+            if self.is_leaf(node):
+                base = self.names[node]
+            else:
+                base = (
+                    "(" + ",".join(fmt(c) for c in self.children[node]) + ")"
+                    + self.names[node]
+                )
+            if lengths is not None and node != self.root:
+                base += f":{lengths[node]:.{digits}g}"
+            return base
+
+        return fmt(self.root)
+
+
+@dataclasses.dataclass
+class LevelSchedule:
+    """Padded per-level arrays driving the pruning scan.
+
+    Padding uses a scratch node id ``n_nodes`` whose CLV row is all-ones and
+    whose transition matrix is the identity, so padded entries contribute a
+    multiplicative 1 — no masking needed in the inner loop.
+    """
+
+    node_ids: np.ndarray            # [depth, max_nodes]     int32 (pad: scratch)
+    child_ids: np.ndarray           # [depth, max_nodes, arity] int32 (pad: scratch)
+    n_nodes: int
+    n_leaves: int
+    depth: int
+    arity: int
+
+    @staticmethod
+    def build(tree: Tree) -> "LevelSchedule":
+        levels = tree.levels()
+        depth = len(levels)
+        max_nodes = max(len(lv) for lv in levels)
+        arity = max(len(tree.children[nd]) for nd in range(tree.n_leaves, tree.n_nodes))
+        scratch = tree.n_nodes
+        # padded node slots scatter into per-slot scratch rows (unique
+        # indices within each level's scatter); padded children gather the
+        # shared all-ones row `scratch` with an identity P
+        node_ids = np.tile(
+            scratch + 1 + np.arange(max_nodes, dtype=np.int32), (depth, 1)
+        )
+        child_ids = np.full((depth, max_nodes, arity), scratch, dtype=np.int32)
+        for d, lv in enumerate(levels):
+            node_ids[d, : len(lv)] = lv
+            for slot, nd in enumerate(lv):
+                for k, c in enumerate(tree.children[nd]):
+                    child_ids[d, slot, k] = c
+        return LevelSchedule(
+            node_ids=node_ids,
+            child_ids=child_ids,
+            n_nodes=tree.n_nodes,
+            n_leaves=tree.n_leaves,
+            depth=depth,
+            arity=arity,
+        )
+
+
+def infer_nj_tree(distance: np.ndarray, names: List[str]) -> Tree:
+    """Neighbor-joining tree from a distance matrix (reference:
+    ``tree.infer.NJ``, used by GARD for per-partition trees)."""
+    n = len(names)
+    if n < 2:
+        raise ValueError("need >= 2 taxa")
+    nodes: List[ParseNode] = []
+    for nm in names:
+        nd = ParseNode()
+        nd.name = nm
+        nodes.append(nd)
+    D = distance.astype(np.float64).copy()
+    active = list(range(n))
+    next_nodes = list(nodes)
+    while len(active) > 2:
+        m = len(active)
+        sub = D[np.ix_(active, active)]
+        r = sub.sum(axis=1)
+        Q = (m - 2) * sub - r[:, None] - r[None, :]
+        np.fill_diagonal(Q, np.inf)
+        i, j = np.unravel_index(np.argmin(Q), Q.shape)
+        if i > j:
+            i, j = j, i
+        ai, aj = active[i], active[j]
+        dij = sub[i, j]
+        li = 0.5 * dij + (r[i] - r[j]) / (2 * (m - 2))
+        lj = dij - li
+        parent = ParseNode()
+        na, nb = next_nodes[ai], next_nodes[aj]
+        na.length = max(li, 0.0)
+        nb.length = max(lj, 0.0)
+        na.parent = nb.parent = parent
+        parent.children = [na, nb]
+        new_row = 0.5 * (D[ai, :] + D[aj, :] - dij)
+        D = np.pad(D, ((0, 1), (0, 1)))
+        D[-1, : len(new_row)] = new_row
+        D[: len(new_row), -1] = new_row
+        D[-1, -1] = 0.0
+        next_nodes.append(parent)
+        active = [a for a in active if a not in (ai, aj)] + [len(next_nodes) - 1]
+    # join the final two under a root
+    root = ParseNode()
+    a, b = next_nodes[active[0]], next_nodes[active[1]]
+    d = D[active[0], active[1]]
+    a.length = max(d / 2, 0.0)
+    b.length = max(d - a.length, 0.0)
+    a.parent = b.parent = root
+    root.children = [a, b]
+    # name internal nodes
+    counter = [0]
+
+    def name_internals(nd: ParseNode):
+        if not nd.is_leaf and not nd.name:
+            nd.name = f"Node{counter[0]}"
+            counter[0] += 1
+        for c in nd.children:
+            name_internals(c)
+
+    name_internals(root)
+    return Tree.from_parse(root)

@@ -1,0 +1,36 @@
+"""Test configuration: force the CPU backend (fp64 parity path) with 8
+virtual devices so multi-chip sharding is exercised without TPU hardware."""
+
+import os
+
+os.environ.setdefault("HYPHY_TPU_PLATFORM", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import pathlib
+
+import pytest
+
+import hyphy_tpu  # noqa: F401  (locks in platform + x64 before any test)
+
+REFERENCE_DATA = pathlib.Path("/root/reference/tests/hbltests")
+LOCAL_DATA = pathlib.Path(__file__).parent / "data"
+
+
+def data_path(name: str) -> str:
+    """Resolve a fixture: prefer the local copy, fall back to the reference
+    checkout (read-only)."""
+    local = LOCAL_DATA / name
+    if local.exists():
+        return str(local)
+    for sub in ("libv3/data", "data", "SimpleOptimizations"):
+        cand = REFERENCE_DATA / sub / name
+        if cand.exists():
+            return str(cand)
+    raise FileNotFoundError(name)
+
+
+@pytest.fixture(scope="session")
+def cd2_path() -> str:
+    return data_path("CD2.nex")
