@@ -230,6 +230,17 @@ class DataFilter:
         """Dense [taxa, patterns, states] leaf partial likelihoods."""
         return self.resolution_table[self.leaf_codes]
 
+    def constant_pattern_mask(self) -> np.ndarray:
+        """[patterns] bool: constant-with-matching-ambiguities columns
+        (reference: ``alignments.Extract_site_patterns`` is_constant) —
+        fully-missing rows excluded; at most one state carries weight."""
+        lp = self.leaf_partials()
+        sums = lp.sum(-1)
+        non_gap = sums < self.n_states
+        contrib = np.where(non_gap[..., None], lp / sums[..., None], 0.0)
+        counts = contrib.sum(axis=0)  # [patterns, states]
+        return (counts > 1e-12).sum(axis=-1) <= 1
+
     # -- frequency harvesting ----------------------------------------------
 
     def harvest_frequencies(

@@ -1,0 +1,243 @@
+"""FEL — Fixed Effects Likelihood site-level selection analysis.
+
+Reference: ``res/TemplateBatchFiles/SelectionAnalyses/FEL.bf``.  Pipeline:
+nucleotide GTR fit -> global MG94xREV fit -> per-site 2-parameter
+(alpha, beta) fits vs the alpha=beta null, LRT ~ chi^2_1.
+
+Site recipe (parity-critical, FEL.bf:565-820): per branch
+``alpha_b := alpha_scaler * synRate_hat_b`` and
+``beta_b := beta_scaler_{test|nuisance} * synRate_hat_b`` where
+``synRate_hat_b`` are the MG94 MLE branch synonymous rates; without
+``--srv`` the alpha scaler is pinned to 1.  The alternative fit is seeded
+from a fixed start grid; the null starts from
+``alpha <- (min(alpha_hat,100) + 3 min(beta_hat,100))/4``.
+
+TPU structure: all site fits run simultaneously — a vmapped bounded
+quasi-Newton over patterns replaces the reference's serial/MPI per-site
+queue (``FEL.bf:1188-1228``).  Each site's generator family
+``alpha_hat_b * (a*Q_syn + b*Q_nonsyn)`` shares one spectral decomposition
+per (site, branch-set).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyphy_tpu.config import settings
+from hyphy_tpu.methods import common
+from hyphy_tpu.models.base import fill_diagonal_from_rows
+from hyphy_tpu.models.parameters import ParamSpec
+from hyphy_tpu.ops import expm as expm_ops
+from hyphy_tpu.ops import pruning
+from hyphy_tpu.optimize.batched import grid_best_starts
+from hyphy_tpu.optimize.nelder_mead import vmapped_nelder_mead
+from hyphy_tpu.io.json_out import analysis_json, model_fit_entry
+
+# FEL.bf:609-734 start grids
+_SRV_GRID = np.array(
+    [
+        # (alpha, beta_test/nuisance)
+        (0.01, 0.1), (1.0, 0.1), (1.0, 0.5), (1.0, 1.0), (1.0, 5.0),
+        (10.0, 0.1), (0.01, 0.5), (0.01, 5.0), (10.0, 0.5), (10.0, 1.0),
+        (10.0, 50.0), (100.0, 1.0),
+    ]
+)
+_NOSRV_GRID = np.array([0.01, 0.1, 0.25, 0.5, 1.0, 5.0])
+
+
+@dataclasses.dataclass
+class FELResult:
+    json: Dict
+    site_table: np.ndarray          # [sites, 6]
+    headers: list
+    data: common.LoadedData
+    gtr: common.GTRFit
+    mg94: common.MG94Fit
+
+
+def run(
+    alignment: str,
+    genetic_code: str = "Universal",
+    tree: Optional[str] = None,
+    branches: str = "All",
+    srv: bool = True,
+    pvalue: float = 0.1,
+    precision: float = 1e-5,
+    site_precision: float = 1e-4,
+) -> FELResult:
+    data = common.load_codon_data(alignment, genetic_code, tree, branches)
+    gtr = common.fit_gtr(data, precision=precision)
+    mg = common.fit_partitioned_mg94(data, gtr, precision=precision)
+
+    filt = data.codon_filter
+    tested = data.tested_branches
+    has_background = bool((~tested).any())
+    n_patterns = filt.n_patterns
+
+    model = mg.model
+    q_syn, q_non = model.basis_matrices(mg.params)
+    rate_syn, rate_non = model.syn_nonsyn_unit_rates(mg.params)
+    alpha_hat = jnp.asarray(mg.alphas)              # [B] branch synRate MLEs
+    freqs = model.frequencies
+    group_of_branch = jnp.asarray(np.where(tested, 0, 1).astype(np.int32))
+    n_groups = 2 if has_background else 1
+    leaf_partials = jnp.asarray(filt.leaf_partials())   # [taxa, patterns, S]
+    pdata = pruning.build_pruning_data(data.tree)
+    tested_j = jnp.asarray(tested.astype(np.float64))
+
+    def _loglik_core(i, a, beta_list):
+        """lnL of pattern i with alpha scaler ``a`` and per-group beta
+        scalers; branch rates are alpha_hat_b * scaler.  Spectral factors
+        act on CLV vectors (no P materialization) — the per-site fast path."""
+        b = jnp.stack(beta_list)                                # [G]
+        m = fill_diagonal_from_rows(
+            a * q_syn[None] + b[:, None, None] * q_non[None]
+        )                                                        # [G,S,S]
+        left, lam, right = expm_ops.reversible_spectral(m, freqs)
+        leaf_vecs = leaf_partials[:, i, :]                       # [taxa, S]
+        if has_background:
+            return pruning.single_site_log_likelihood_spectral(
+                left[group_of_branch], lam[group_of_branch],
+                right[group_of_branch], alpha_hat, leaf_vecs, freqs, pdata,
+            )
+        return pruning.single_site_log_likelihood_spectral(
+            left[0], lam[0], right[0], alpha_hat, leaf_vecs, freqs, pdata,
+        )
+
+    def site_loglik(i, scalers):
+        a = scalers["alpha"] if srv else jnp.ones(())
+        betas = [scalers["beta_test"]]
+        if has_background:
+            betas.append(scalers["beta_nuisance"])
+        return _loglik_core(i, a, betas)
+
+    # -- alternative fits ---------------------------------------------------
+    if srv:
+        specs = {
+            "alpha": ParamSpec(init=1.0, lower=0.0, upper=10000.0),
+            "beta_test": ParamSpec(init=1.0, lower=0.0, upper=10000.0),
+        }
+        grid = {
+            "alpha": jnp.asarray(_SRV_GRID[:, 0]),
+            "beta_test": jnp.asarray(_SRV_GRID[:, 1]),
+        }
+        if has_background:
+            grid["beta_nuisance"] = jnp.asarray(_SRV_GRID[:, 1])
+    else:
+        specs = {"beta_test": ParamSpec(init=1.0, lower=0.0, upper=10000.0)}
+        grid = {"beta_test": jnp.asarray(_NOSRV_GRID)}
+        if has_background:
+            grid["beta_nuisance"] = jnp.asarray(_NOSRV_GRID)
+    if has_background:
+        specs["beta_nuisance"] = ParamSpec(init=1.0, lower=0.0, upper=10000.0)
+
+    def fit_all_sites(idx, _init):
+        starts, _ = grid_best_starts(site_loglik, grid, idx)
+        alt_params, alt_lnl = vmapped_nelder_mead(
+            site_loglik, specs, starts, idx
+        )
+        alt_alpha = alt_params["alpha"] if srv else jnp.ones(idx.shape[0])
+        alt_beta = alt_params["beta_test"]
+
+        # null: beta_test := alpha (a free common scaler even without SRV —
+        # the reference's `=` assignment clears the alpha := 1 constraint),
+        # started from the reference's blend (FEL.bf:777-785)
+        null_specs = {"alpha": ParamSpec(init=1.0, lower=0.0, upper=10000.0)}
+        null_start = {
+            "alpha": (jnp.minimum(alt_alpha, 100.0) + 3.0 * jnp.minimum(alt_beta, 100.0)) / 4.0
+        }
+        if has_background:
+            null_specs["beta_nuisance"] = specs["beta_nuisance"]
+            null_start["beta_nuisance"] = alt_params["beta_nuisance"]
+
+        def null_loglik(i, scalers):
+            betas = [scalers["alpha"]]
+            if has_background:
+                betas.append(scalers["beta_nuisance"])
+            return _loglik_core(i, scalers["alpha"], betas)
+
+        null_params, null_lnl = vmapped_nelder_mead(
+            null_loglik, null_specs, null_start, idx
+        )
+        null_common = null_params["alpha"]
+
+        # per-site total tested branch length at the null fit
+        # (reference: BranchLength(tree,-1) . selected_branches, FEL.bf:800)
+        a_b = null_common[:, None] * alpha_hat[None, :]
+        beta_b = null_common[:, None] * alpha_hat[None, :]
+        # /3: codon branch lengths are per nucleotide site
+        bl = (a_b * rate_syn + beta_b * rate_non) / 3.0
+        total_bl = bl @ tested_j
+        return alt_alpha, alt_beta, alt_lnl, null_common, null_lnl, total_bl
+
+    from hyphy_tpu.parallel.mesh import sharded_site_solve
+
+    alt_alpha, alt_beta, alt_lnl, null_common, null_lnl, total_bl = (
+        np.array(x)
+        for x in sharded_site_solve(fit_all_sites, {}, n_patterns)
+    )
+    lrt = np.maximum(2.0 * (alt_lnl - null_lnl), 0.0)
+    pvals = np.array([common.chi2_sf(x, 1) for x in lrt])
+
+    # constant patterns are not fit (FEL.bf: is_constant -> zero row)
+    constant = filt.constant_pattern_mask()
+    for arr, val in (
+        (alt_alpha, 0.0), (alt_beta, 0.0), (null_common, 0.0),
+        (lrt, 0.0), (pvals, 1.0), (total_bl, 0.0),
+    ):
+        arr[constant] = val
+
+    dup = filt.duplicate_map
+    site_table = np.stack(
+        [
+            alt_alpha[dup], alt_beta[dup], null_common[dup],
+            lrt[dup], pvals[dup], total_bl[dup],
+        ],
+        axis=1,
+    )
+
+    headers = [
+        ["alpha", "Synonymous substitution rate at a site"],
+        ["beta", "Non-synonymous substitution rate at a site"],
+        ["alpha=beta", "The rate estimate under the neutral model"],
+        ["LRT", "Likelihood ratio test statistic for beta = alpha, versus beta &neq; alpha"],
+        ["p-value", "Likelihood ratio test statistic for beta = alpha, versus beta &neq; alpha"],
+        ["Total branch length", "The total length of branches contributing to inference at this site, and used to scale dN-dS"],
+    ]
+
+    json = analysis_json(
+        info="FEL (Fixed Effects Likelihood) estimates site-wise synonymous (&alpha;) "
+             "and non-synonymous (&beta;) rates",
+        version="2.1",
+        data=data,
+        fits={
+            "Nucleotide GTR": model_fit_entry(
+                gtr.loglik, gtr.n_parameters, data.sample_size,
+                frequencies=gtr.frequencies, display_order=0,
+            ),
+            "Global MG94xREV": model_fit_entry(
+                mg.loglik, mg.n_parameters, data.sample_size,
+                frequencies=mg.codon_freqs, display_order=1,
+                rate_distributions={
+                    f"non-synonymous/synonymous rate ratio for *{name}*":
+                        [[float(mg.omegas[g]), 1.0]]
+                    for g, name in enumerate(data.group_names)
+                },
+            ),
+        },
+        extra={
+            "MLE": {
+                "headers": headers,
+                "content": {"0": site_table.tolist()},
+            },
+        },
+    )
+    return FELResult(
+        json=json, site_table=site_table, headers=headers,
+        data=data, gtr=gtr, mg94=mg,
+    )

@@ -1,0 +1,235 @@
+"""Codon substitution models: the MG94xREV family.
+
+Q construction (parity-critical, reference ``MG_REV.bf:66-105`` +
+``frequencies.codon.multiply_in_frequencies``): entry (x -> y) is nonzero
+iff codons differ at exactly one nucleotide position, and equals
+
+    theta_<nucpair> * (alpha | beta or omega) * n_pos(target_nucleotide)
+
+with ``theta_AG := 1`` and ``n`` the (CF3x4 corner / F3x4 observed)
+position-specific nucleotide frequencies.  The model is NOT canonical
+(``canonical: 0``, MG_REV.bf:25) — codon frequencies are not multiplied
+into the rates; the diagonal is -row-sum (``_Matrix::MultByFreqs``,
+``matrix.cpp:1546``).
+
+TPU structure: every variant's per-branch generator is
+``Q_b = alpha_b * Q_syn + beta_b * Q_nonsyn`` — two fixed sparse basis
+matrices scaled per branch.  When ``beta_b/alpha_b`` takes only G distinct
+values (global-omega and proportional fits, FEL site fits) all branches
+share G eigendecompositions and each P(t) costs two MXU matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyphy_tpu.data.genetic_code import GeneticCode
+from hyphy_tpu.models.base import (
+    ModelOutput,
+    SubstitutionModel,
+    fill_diagonal_from_rows,
+)
+from hyphy_tpu.models.dna import GTR_RATES
+from hyphy_tpu.models.parameters import ParamSpec, Params, Specs
+from hyphy_tpu.ops import expm as expm_ops
+
+_PAIR_INDEX = {p: i for i, p in enumerate(GTR_RATES)}
+_NUC = "ACGT"
+
+
+class MG94Base(SubstitutionModel):
+    """Shared machinery: sparse basis matrices Q_syn / Q_nonsyn."""
+
+    datatype = "codon"
+    reversible = True
+
+    def __init__(self, gc: GeneticCode, corner_freqs: np.ndarray, codon_freqs: np.ndarray):
+        self.gc = gc
+        self.n_states = gc.n_states
+        self.corner_freqs = np.asarray(corner_freqs)  # [4, 3]
+        self.frequencies = jnp.asarray(np.asarray(codon_freqs).reshape(-1))
+        tbl = gc.one_step_table
+        self._pair_i = jnp.asarray(tbl["pairs"][:, 0])
+        self._pair_j = jnp.asarray(tbl["pairs"][:, 1])
+        theta_idx = []
+        for fn, tn in zip(tbl["from_nuc"], tbl["to_nuc"]):
+            a, b = _NUC[min(fn, tn)], _NUC[max(fn, tn)]
+            theta_idx.append(_PAIR_INDEX[a + b])
+        self._theta_idx = jnp.asarray(np.array(theta_idx, dtype=np.int32))
+        # position-specific frequency of the *target* nucleotide
+        self._multiplier = jnp.asarray(
+            self.corner_freqs[tbl["to_nuc"], tbl["position"]]
+        )
+        self._syn = jnp.asarray(tbl["synonymous"].astype(np.float64))
+
+    # -- construction pieces ------------------------------------------------
+
+    @staticmethod
+    def theta_specs() -> Specs:
+        """GTR exchangeabilities shared with the nucleotide fit; AG := 1."""
+        return {
+            f"theta_{p}": ParamSpec(init=0.25, lower=0.0, upper=10000.0)
+            for p in GTR_RATES
+            if p != "AG"
+        }
+
+    def _theta_vector(self, params: Params) -> jnp.ndarray:
+        return jnp.stack(
+            [jnp.ones(()) if p == "AG" else params[f"theta_{p}"] for p in GTR_RATES]
+        )
+
+    def basis_matrices(self, params: Params):
+        """(Q_syn, Q_nonsyn) [S,S] with zero diagonals."""
+        entries = self._theta_vector(params)[self._theta_idx] * self._multiplier
+        s = self.n_states
+        zeros = jnp.zeros((s, s), dtype=entries.dtype)
+        q_syn = zeros.at[self._pair_i, self._pair_j].set(entries * self._syn)
+        q_non = zeros.at[self._pair_i, self._pair_j].set(entries * (1.0 - self._syn))
+        return q_syn, q_non
+
+    def propagators_grouped(
+        self,
+        params: Params,
+        alpha_b: jnp.ndarray,       # [B] branch syn rates (the expm time)
+        ratio_groups: jnp.ndarray,  # [G] beta/alpha per group
+        group_of_branch: jnp.ndarray,  # [B] int32 in [0, G)
+    ) -> jnp.ndarray:
+        """P_b = expm(alpha_b * (Q_syn + r_{g(b)} * Q_nonsyn)) — G
+        eigendecompositions shared by all branches."""
+        q_syn, q_non = self.basis_matrices(params)
+        m = fill_diagonal_from_rows(
+            q_syn[None] + ratio_groups[:, None, None] * q_non[None]
+        )  # [G,S,S]
+        left, lam, right = expm_ops.reversible_spectral(m, self.frequencies)
+        return expm_ops.spectral_propagators(
+            left[group_of_branch], lam[group_of_branch], right[group_of_branch],
+            alpha_b,
+        )
+
+    def propagators_local(
+        self, params: Params, alpha_b: jnp.ndarray, beta_b: jnp.ndarray
+    ) -> jnp.ndarray:
+        """General path: per-branch Q -> batched spectral expm."""
+        q_syn, q_non = self.basis_matrices(params)
+        q = fill_diagonal_from_rows(
+            alpha_b[:, None, None] * q_syn[None] + beta_b[:, None, None] * q_non[None]
+        )
+        left, lam, right = expm_ops.reversible_spectral(q, self.frequencies)
+        return expm_ops.spectral_propagators(
+            left, lam, right, jnp.ones_like(alpha_b)
+        )
+
+    def rate_per_branch(self, params: Params, alpha_b, beta_b) -> jnp.ndarray:
+        """Branch length in expected substitutions per NUCLEOTIDE site —
+        codon-model branch lengths carry a 1/3 factor (reference:
+        ``model.BranchLengthExpression``, model_functions.bf:696)."""
+        q_syn, q_non = self.basis_matrices(params)
+        rs = q_syn.sum(-1) @ self.frequencies
+        rn = q_non.sum(-1) @ self.frequencies
+        return (alpha_b * rs + beta_b * rn) / 3.0
+
+    def syn_nonsyn_unit_rates(self, params: Params):
+        """(rate_syn, rate_nonsyn) per unit alpha / beta."""
+        q_syn, q_non = self.basis_matrices(params)
+        return q_syn.sum(-1) @ self.frequencies, q_non.sum(-1) @ self.frequencies
+
+
+class MG94xREV(MG94Base):
+    """'Global' model type: one omega, per-branch time t
+    (reference: model_type = terms.global)."""
+
+    def parameter_specs(self, n_branches: int) -> Specs:
+        specs = self.theta_specs()
+        specs["omega"] = ParamSpec(init=0.25, lower=0.0, upper=10000.0)
+        specs["t"] = ParamSpec(init=0.05, lower=0.0, upper=10000.0, shape=(n_branches,))
+        return specs
+
+    def build(self, params: Params, n_branches: int) -> ModelOutput:
+        p = self.propagators_grouped(
+            params,
+            params["t"],
+            params["omega"][None],
+            jnp.zeros(n_branches, dtype=jnp.int32),
+        )
+        return ModelOutput(p_matrices=p, root_freqs=self.frequencies)
+
+    def branch_lengths(self, params: Params) -> jnp.ndarray:
+        return self.rate_per_branch(
+            params, params["t"], params["t"] * params["omega"]
+        )
+
+
+class MG94xREVLocal(MG94Base):
+    """'Local' model type: per-branch (alpha, beta) = (synRate, nonSynRate)."""
+
+    def parameter_specs(self, n_branches: int) -> Specs:
+        specs = self.theta_specs()
+        specs["alpha"] = ParamSpec(init=0.05, lower=0.0, upper=10000.0, shape=(n_branches,))
+        specs["beta"] = ParamSpec(init=0.05, lower=0.0, upper=10000.0, shape=(n_branches,))
+        return specs
+
+    def build(self, params: Params, n_branches: int) -> ModelOutput:
+        p = self.propagators_local(params, params["alpha"], params["beta"])
+        return ModelOutput(p_matrices=p, root_freqs=self.frequencies)
+
+    def branch_lengths(self, params: Params) -> jnp.ndarray:
+        return self.rate_per_branch(params, params["alpha"], params["beta"])
+
+
+class MG94xREVPartitionedOmega(MG94Base):
+    """The 'Global MG94xREV' fit of the selection methods
+    (``estimators.FitCodonModel`` with partitioned_omega +
+    proportional_branch_length_scaler, ``shared-load-file.bf:706``):
+
+      beta_b  := alpha_b * omega_{group(b)}
+      alpha_b := scaler * nuc_branch_length_b   (from the GTR fit)
+
+    Free parameters: 5 thetas, one omega per branch group, one scaler
+    (initialized at 3 — the x3 nucleotide->codon branch-length boost,
+    ``MG_REV.bf:126-137``).
+    """
+
+    def __init__(
+        self,
+        gc: GeneticCode,
+        corner_freqs: np.ndarray,
+        codon_freqs: np.ndarray,
+        nuc_lengths: np.ndarray,        # [B] GTR branch lengths
+        branch_groups: np.ndarray,      # [B] int group per branch
+        n_groups: int,
+        free_lengths: bool = False,     # if True, alpha_b free (init from nuc)
+    ):
+        super().__init__(gc, corner_freqs, codon_freqs)
+        self.nuc_lengths = jnp.asarray(np.asarray(nuc_lengths, dtype=np.float64))
+        self.branch_groups = jnp.asarray(np.asarray(branch_groups, dtype=np.int32))
+        self.n_groups = n_groups
+        self.free_lengths = free_lengths
+
+    def parameter_specs(self, n_branches: int) -> Specs:
+        specs = self.theta_specs()
+        specs["omega"] = ParamSpec(init=0.25, lower=0.0, upper=10000.0, shape=(self.n_groups,))
+        if self.free_lengths:
+            specs["alpha"] = ParamSpec(init=0.15, lower=0.0, upper=10000.0, shape=(n_branches,))
+        else:
+            specs["scaler"] = ParamSpec(init=3.0, lower=0.0, upper=10000.0)
+        return specs
+
+    def _alphas(self, params: Params) -> jnp.ndarray:
+        if self.free_lengths:
+            return params["alpha"]
+        return params["scaler"] * self.nuc_lengths
+
+    def build(self, params: Params, n_branches: int) -> ModelOutput:
+        p = self.propagators_grouped(
+            params, self._alphas(params), params["omega"], self.branch_groups
+        )
+        return ModelOutput(p_matrices=p, root_freqs=self.frequencies)
+
+    def branch_lengths(self, params: Params) -> jnp.ndarray:
+        alpha = self._alphas(params)
+        beta = alpha * params["omega"][self.branch_groups]
+        return self.rate_per_branch(params, alpha, beta)
