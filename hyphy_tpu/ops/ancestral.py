@@ -1,0 +1,190 @@
+"""Ancestral state reconstruction: joint ML (Pupko), marginal, sampled.
+
+Behavioral port of the reference engine's
+``_TheTree::RecoverAncestralSequences`` (joint max-product DP,
+``src/core/tree.cpp:4209``), ``RecoverAncestralSequencesMarginal``
+(``src/core/likefunc2.cpp:932``) and ``SampleAncestorsBySequence``
+(``tree.cpp:4086``), vectorized over site patterns:
+
+  * up pass: per branch, per pattern, per parent state p:
+    ``max_c P[p,c] * child[c]`` with argmax cached; completely-unresolved
+    child vectors (all ones) contribute nothing and propagate state -1,
+  * root: argmax of ``pi_c * cond[c]`` (or -1 when unresolved),
+  * traceback: child state = cache[child, pattern, parent_state].
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyphy_tpu.ops.pruning import PruningData
+
+
+class JointReconstruction(NamedTuple):
+    internal_states: jnp.ndarray   # [n_internal, patterns] int32, -1 = unresolved
+    root_loglik: jnp.ndarray       # [patterns] max-product log-likelihood
+
+
+def joint_reconstruct(
+    p_matrices: jnp.ndarray,       # [n_nodes(+1), S, S] (row above each node)
+    leaf_partials: jnp.ndarray,    # [n_leaves, patterns, S]
+    root_freqs: jnp.ndarray,
+    data: PruningData,
+) -> JointReconstruction:
+    n_nodes = data.n_nodes
+    patterns, states = leaf_partials.shape[1], leaf_partials.shape[2]
+    dtype = leaf_partials.dtype
+
+    eye = jnp.eye(states, dtype=dtype)
+    if p_matrices.shape[0] < n_nodes + 1:
+        pad = jnp.broadcast_to(eye, (n_nodes + 1 - p_matrices.shape[0], states, states))
+        p_all = jnp.concatenate([p_matrices.astype(dtype), pad], axis=0)
+    else:
+        p_all = p_matrices.astype(dtype).at[n_nodes].set(eye)
+
+    total = n_nodes + 1 + data.max_width
+    cond = jnp.ones((total, patterns, states), dtype=dtype)
+    cond = cond.at[: data.n_leaves].set(leaf_partials)
+    # argmax cache: best child state given parent state
+    cache = jnp.full((total, patterns, states), -1, dtype=jnp.int32)
+
+    def up_step(carry, level):
+        cond, cache = carry
+        node_ids, child_ids = level
+        flat = child_ids.reshape(-1)
+        cp = p_all[flat]                                   # [B, S, S]
+        cc = cond[flat]                                    # [B, patterns, S]
+        # vals[b, p, parent] = max_c P[b, parent, c] * cc[b, p, c]
+        prods = cp[:, None, :, :] * cc[:, :, None, :]      # [B, patterns, S, S]
+        vals = jnp.max(prods, axis=-1)
+        args = jnp.argmax(prods, axis=-1).astype(jnp.int32)
+        unresolved = jnp.all(cc == 1.0, axis=-1)           # [B, patterns]
+        vals = jnp.where(unresolved[..., None], 1.0, vals)
+        args = jnp.where(unresolved[..., None], -1, args)
+        cache = cache.at[flat].set(args)
+        contrib = vals.reshape(child_ids.shape[0], data.arity, patterns, states)
+        prod = jnp.prod(contrib, axis=1)
+        mx = jnp.max(prod, axis=-1, keepdims=True)
+        mx = jnp.where(mx > 0, mx, 1.0)
+        # keep exactly-unresolved nodes at exactly 1.0 (degeneracy check)
+        all_unres = jnp.all(prod == 1.0, axis=-1, keepdims=True)
+        prod = jnp.where(all_unres, prod, prod / mx)
+        log_scale_inc = jnp.where(all_unres[..., 0], 0.0, jnp.log(mx[..., 0]))
+        cond = cond.at[node_ids].set(prod)
+        return (cond, cache), jnp.sum(log_scale_inc, axis=0)
+
+    (cond, cache), log_scales = jax.lax.scan(
+        up_step, (cond, cache), (data.node_ids, data.child_ids)
+    )
+
+    root_cond = cond[n_nodes - 1]                          # [patterns, S]
+    root_unresolved = jnp.all(root_cond == 1.0, axis=-1)
+    weighted = root_cond * root_freqs.astype(dtype)[None, :]
+    root_state = jnp.where(
+        root_unresolved, -1, jnp.argmax(weighted, axis=-1).astype(jnp.int32)
+    )
+    root_loglik = jnp.log(jnp.maximum(jnp.max(weighted, axis=-1), jnp.finfo(dtype).tiny)) + jnp.sum(log_scales, axis=0)
+
+    # traceback, top-down (reversed levels)
+    states_arr = jnp.full((total, patterns), -1, dtype=jnp.int32)
+    states_arr = states_arr.at[n_nodes - 1].set(root_state)
+
+    def down_step(states_arr, level):
+        node_ids, child_ids = level
+        parent_state = states_arr[node_ids]                # [W, patterns]
+        flat = child_ids.reshape(-1)                       # [W*K]
+        ps = jnp.repeat(parent_state, data.arity, axis=0)  # [W*K, patterns]
+        child_cache = cache[flat]                          # [W*K, patterns, S]
+        cs = jnp.take_along_axis(
+            child_cache, jnp.maximum(ps, 0)[..., None], axis=-1
+        )[..., 0]
+        cs = jnp.where(ps < 0, -1, cs)
+        # don't overwrite the root row; scratch writes are harmless
+        states_arr = states_arr.at[flat].set(cs)
+        return states_arr, None
+
+    rev = (data.node_ids[::-1], data.child_ids[::-1])
+    states_arr, _ = jax.lax.scan(down_step, states_arr, rev)
+
+    internal = states_arr[data.n_leaves : n_nodes]
+    return JointReconstruction(internal_states=internal, root_loglik=root_loglik)
+
+
+def marginal_posteriors(
+    p_matrices: jnp.ndarray,
+    leaf_partials: jnp.ndarray,
+    root_freqs: jnp.ndarray,
+    data: PruningData,
+    children: list,
+    parent: np.ndarray,
+) -> jnp.ndarray:
+    """Posterior state probabilities for every internal node:
+    ``P(state_n = s | data)`` via inside (CLV) x outside vectors
+    (reference: RecoverAncestralSequencesMarginal, likefunc2.cpp:932).
+
+    Returns [n_internal, patterns, S] normalized posteriors.
+    Implemented with numpy-driven recursion over the (static) topology on
+    top of jitted inside CLVs — outside pass is a per-node loop (cheap
+    relative to the inside pass, and runs once per analysis).
+    """
+    n_nodes = data.n_nodes
+    patterns, states = leaf_partials.shape[1], leaf_partials.shape[2]
+    dtype = leaf_partials.dtype
+    eye = jnp.eye(states, dtype=dtype)
+    if p_matrices.shape[0] < n_nodes + 1:
+        pad = jnp.broadcast_to(eye, (n_nodes + 1 - p_matrices.shape[0], states, states))
+        p_all = jnp.concatenate([p_matrices.astype(dtype), pad], axis=0)
+    else:
+        p_all = p_matrices.astype(dtype)
+
+    # inside pass: per-node CLVs (unscaled in log-sum form)
+    clv = [None] * n_nodes
+    log_sc = [None] * n_nodes
+    for i in range(data.n_leaves):
+        clv[i] = leaf_partials[i]
+        log_sc[i] = jnp.zeros((patterns,), dtype)
+    order = []
+    done = set(range(data.n_leaves))
+    # children lists are static; simple post-order
+    pending = [n for n in range(data.n_leaves, n_nodes)]
+    while pending:
+        for n in list(pending):
+            if all(c in done for c in children[n]):
+                order.append(n)
+                done.add(n)
+                pending.remove(n)
+    for n in order:
+        acc = jnp.ones((patterns, states), dtype)
+        sc = jnp.zeros((patterns,), dtype)
+        for c in children[n]:
+            acc = acc * (clv[c] @ p_all[c].T)
+            sc = sc + log_sc[c]
+        mx = jnp.maximum(jnp.max(acc, axis=-1, keepdims=True), 1e-300)
+        clv[n] = acc / mx
+        log_sc[n] = sc + jnp.log(mx[..., 0])
+
+    # outside pass
+    outside = [None] * n_nodes
+    root = n_nodes - 1
+    outside[root] = jnp.broadcast_to(root_freqs.astype(dtype), (patterns, states))
+    for n in reversed(order):
+        for c in children[n]:
+            # sibling product at n excluding c
+            acc = outside[n]
+            for sib in children[n]:
+                if sib != c:
+                    acc = acc * (clv[sib] @ p_all[sib].T)
+            out_c = acc @ p_all[c]
+            mx = jnp.maximum(jnp.max(out_c, axis=-1, keepdims=True), 1e-300)
+            outside[c] = out_c / mx
+
+    post = []
+    for n in range(data.n_leaves, n_nodes):
+        joint = clv[n] * outside[n]
+        z = jnp.maximum(jnp.sum(joint, axis=-1, keepdims=True), 1e-300)
+        post.append(joint / z)
+    return jnp.stack(post)
