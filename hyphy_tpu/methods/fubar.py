@@ -1,0 +1,218 @@
+"""FUBAR — Fast Unconstrained Bayesian AppRoximation.
+
+Reference: ``SelectionAnalyses/FUBAR.bf`` + ``modules/grid_compute.ibf``.
+Pipeline: GTR fit -> 20x20 (alpha, beta) rate grid (70% of points linear
+in [0,1], remainder cubic to 50) -> per-grid-point site log-likelihood
+vectors (theta fixed at GTR MLEs, CF3x4 frequencies, branch rates
+proportional to GTR branch lengths) -> Dirichlet-prior posterior over grid
+weights via 0th-order variational Bayes (default), collapsed Gibbs, or
+MCMC -> per-site P(beta > alpha) and empirical Bayes factors.
+
+TPU structure: the grid's 400 likelihood-vector evaluations are one
+mesh-sharded batched pruning call (the reference runs them serially or
+over an MPI queue, ``grid_compute.ibf:3-52``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyphy_tpu.io.json_out import analysis_json, model_fit_entry
+from hyphy_tpu.methods import common
+from hyphy_tpu.models import frequencies as freq_mod
+from hyphy_tpu.models.base import fill_diagonal_from_rows
+from hyphy_tpu.models.codon import MG94Base
+from hyphy_tpu.ops import expm as expm_ops
+from hyphy_tpu.ops import pruning
+from hyphy_tpu.parallel.mesh import sharded_site_solve
+
+
+def alpha_beta_grid(points: int = 20, non_zero: bool = False) -> np.ndarray:
+    """(alpha, beta) grid (fubar.DefineAlphaBetaGrid, FUBAR.bf:799)."""
+    points = max(points, 5)
+    neg = int(points * 0.7 + 0.5)
+    pos = int((points - 1) * 0.3)
+    if neg + pos != points:
+        pos = points - neg
+    one_d = np.zeros(points)
+    one_d[:neg] = np.arange(neg) / neg
+    one_d[neg - 1] = 1.0
+    step = 49.0 ** (1.0 / 3.0) / pos
+    for k in range(1, pos + 1):
+        one_d[neg + k - 1] = 1.0 + (step * k) ** 3
+    grid = np.array([(a, b) for a in one_d for b in one_d])
+    if non_zero:
+        mn = max(1e-3, one_d[0])
+        grid[:, 0] = np.maximum(grid[:, 0], mn)
+    return grid
+
+
+@dataclasses.dataclass
+class FUBARResult:
+    json: Dict
+    site_table: np.ndarray       # [sites, 6] (VB0)
+    grid: np.ndarray             # [G, 2]
+    posterior_weights: np.ndarray  # [G]
+    data: common.LoadedData
+    gtr: common.GTRFit
+
+
+def run(
+    alignment: str,
+    genetic_code: str = "Universal",
+    tree: Optional[str] = None,
+    branches: str = "All",
+    grid_points: int = 20,
+    method: str = "Variational-Bayes",
+    concentration: float = 0.5,
+    chain_length: int = 2_000_000,
+    burn_in: int = 1_000_000,
+    samples: int = 100,
+    posterior: float = 0.9,
+    precision: float = 1e-5,
+    seed: int = 0,
+) -> FUBARResult:
+    data = common.load_codon_data(alignment, genetic_code, tree, branches)
+    gtr = common.fit_gtr(data, precision=precision)
+
+    gc = data.genetic_code
+    filt = data.codon_filter
+    corners, codon_freqs = freq_mod.cf3x4(filt, gc)
+    model = MG94Base(gc, corners, codon_freqs)
+    theta = {k: jnp.asarray(v) for k, v in gtr.params.items() if k.startswith("theta")}
+    q_syn, q_non = model.basis_matrices(theta)
+    rate_syn, rate_non = model.syn_nonsyn_unit_rates(theta)
+    freqs = model.frequencies
+    pdata = pruning.build_pruning_data(data.tree)
+    lp = jnp.asarray(filt.leaf_partials())
+    weights = jnp.asarray(filt.pattern_weights)
+
+    # branch scale solving BL(alpha=beta=c) = 3 * gtr_bl against the raw
+    # (un-divided) branch length expression (fubar.scalers.SetBranchLength:
+    # FindRoot) => c = 3 * bl / (rate_syn + rate_non); verified against the
+    # reference binary's "best scaling (1,1)" on CD2
+    c_b = jnp.asarray(3.0 * gtr.branch_lengths / float(rate_syn + rate_non))
+
+    grid = alpha_beta_grid(grid_points)
+    n_grid = len(grid)
+    grid_j = jnp.asarray(grid)
+
+    def grid_site_logliks(i, _init):
+        """Site (pattern) log-likelihood vector at grid point(s) i."""
+
+        def one(g):
+            a, b = grid_j[g, 0], grid_j[g, 1]
+            m = fill_diagonal_from_rows(a * q_syn + b * q_non)
+            left, lam, right = expm_ops.reversible_spectral(m, freqs)
+            p = expm_ops.spectral_propagators(left, lam, right, c_b)
+            return pruning.site_log_likelihoods(p, lp, freqs, pdata)
+
+        return (jax.vmap(one)(i),)
+
+    # pass 1: best overall scaling on the grid (FUBAR.bf:280-292)
+    (sll,) = sharded_site_solve(grid_site_logliks, {}, n_grid)
+    total = sll @ np.asarray(weights)
+    best = int(np.argmax(total))
+    a_hat, b_hat = grid[best]
+    # rebase branch scales at the best grid point: the per-branch synRate
+    # values at (a_hat, b_hat) become the new proportionality constants
+    c_rebased = float((a_hat * rate_syn + b_hat * rate_non) / (rate_syn + rate_non))
+    c_b = c_b * c_rebased
+
+    # pass 2: conditional site likelihood vectors on the rebased tree
+    (sll,) = sharded_site_solve(grid_site_logliks, {}, n_grid)
+
+    # expand patterns -> sites; normalize per site (ConvertToConditionals)
+    sll_sites = sll[:, filt.duplicate_map]               # [G, sites]
+    mx = sll_sites.max(axis=0, keepdims=True)
+    cond = np.exp(sll_sites - mx)
+    cond /= cond.sum(axis=0, keepdims=True)
+    n_sites = cond.shape[1]
+
+    # posterior over grid weights
+    rng = np.random.default_rng(seed)
+    if method == "Variational-Bayes":
+        w = cond.sum(axis=1)
+        for _ in range(100000):
+            last = w
+            num = last[:, None] * cond
+            site_post = num / num.sum(axis=0, keepdims=True)
+            w = site_post.sum(axis=1) + concentration
+            w = w / w.sum()
+            if np.abs(w - last).max() <= 1e-8:
+                break
+        posterior_mean = w
+    elif method == "Collapsed-Gibbs":
+        current = rng.dirichlet(np.full(n_grid, concentration))
+        n_samples = samples
+        stride = max((chain_length - burn_in) // n_samples, 1)
+        acc = []
+        for step in range(1, chain_length + 1):
+            num = current[:, None] * cond
+            site_post = num / num.sum(axis=0, keepdims=True)
+            current = rng.dirichlet(site_post.sum(axis=1) + concentration)
+            if step > burn_in and (step - burn_in + 1) % stride == 0:
+                acc.append(current)
+                if len(acc) >= n_samples:
+                    break
+        posterior_mean = np.mean(acc, axis=0)
+    else:
+        raise ValueError(f"unknown FUBAR method {method!r}")
+
+    # per-site statistics (FUBAR.bf phase 4)
+    p_ks = posterior_mean @ cond                         # [sites]
+    alpha_col = (posterior_mean * grid[:, 0]) @ cond / p_ks
+    beta_col = (posterior_mean * grid[:, 1]) @ cond / p_ks
+    pos_stencil = (grid[:, 0] < grid[:, 1]).astype(float)
+    neg_stencil = (grid[:, 0] > grid[:, 1]).astype(float)
+    p_pos = (posterior_mean * pos_stencil) @ cond / p_ks
+    p_neg = (posterior_mean * neg_stencil) @ cond / p_ks
+    weight_non_positive = posterior_mean[grid[:, 0] >= grid[:, 1]].sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if 0 < weight_non_positive < 1:
+            bf = p_pos / (1 - p_pos) / (1 - weight_non_positive) * weight_non_positive
+        else:
+            bf = np.ones(n_sites)
+
+    site_table = np.stack(
+        [alpha_col, beta_col, beta_col - alpha_col, p_neg, p_pos, bf], axis=1
+    )
+
+    headers = [
+        ["alpha", "Mean posterior synonymous substitution rate at a site"],
+        ["beta", "Mean posterior non-synonymous substitution rate at a site"],
+        ["beta-alpha", "Mean posterior beta-alpha"],
+        ["Prob[alpha>beta]", "Posterior probability of negative selection at a site"],
+        ["Prob[alpha<beta]", "Posterior probability of positive selection at a site"],
+        ["BayesFactor[alpha<beta]", "Empiricial Bayes Factor for positive selection at a site"],
+    ]
+
+    json = analysis_json(
+        info="FUBAR (Fast Unconstrained Bayesian AppRoximation) estimates site "
+             "rates using a flexible random effects prior on a rate grid",
+        version="2.2",
+        data=data,
+        fits={
+            "Nucleotide GTR": model_fit_entry(
+                gtr.loglik, gtr.n_parameters, data.sample_size,
+                frequencies=gtr.frequencies, display_order=0,
+            ),
+        },
+        extra={
+            "MLE": {"headers": headers, "content": {"0": site_table.tolist()}},
+            "grid": np.column_stack([grid, posterior_mean]).tolist(),
+            "settings": {
+                "grid size": grid_points, "method": method,
+                "concentration": concentration, "posterior": posterior,
+            },
+        },
+    )
+    return FUBARResult(
+        json=json, site_table=site_table, grid=grid,
+        posterior_weights=posterior_mean, data=data, gtr=gtr,
+    )
