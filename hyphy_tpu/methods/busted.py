@@ -1,0 +1,260 @@
+"""BUSTED — Branch-Site Unrestricted Statistical Test for Episodic
+Diversification.
+
+Reference: ``SelectionAnalyses/BUSTED.bf``.  Pipeline: GTR -> global
+MG94xREV -> unconstrained 3-class BS_REL fit on tested branches (separate
+3-class distribution on background branches; optional 3-class GDD
+synonymous rate variation shared by all) -> constrained (omega_3 := 1)
+refit -> LRT with p = 0.5 * (chi^2_0 + chi^2_2) (BUSTED.bf:1427) and
+per-site evidence ratios exp(siteL_alt - siteL_null).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyphy_tpu.io.json_out import analysis_json, model_fit_entry
+from hyphy_tpu.methods import common
+from hyphy_tpu.models.bsrel import BSRELEngine, omega_distribution, srv_distribution
+from hyphy_tpu.models.codon import MG94Base
+from hyphy_tpu.models.parameters import ParamSpec, Specs
+from hyphy_tpu.ops import pruning
+from hyphy_tpu.optimize.core import maximize
+
+
+@dataclasses.dataclass
+class BUSTEDResult:
+    json: Dict
+    unconstrained_lnl: float
+    null_lnl: float
+    lrt: float
+    p_value: float
+    evidence_ratios: np.ndarray
+    alt_params: Dict
+    data: common.LoadedData
+    gtr: common.GTRFit
+    mg94: common.MG94Fit
+
+
+def _distribution_specs(prefix: str, k: int) -> Specs:
+    """BS_REL omega distribution: omega_1..k-1 in [0,1], omega_k >= 1."""
+    specs = {}
+    for i in range(1, k):
+        specs[f"{prefix}_omega_{i}"] = ParamSpec(init=0.1 * i, lower=0.0, upper=1.0)
+    specs[f"{prefix}_omega_{k}"] = ParamSpec(init=1.5, lower=1.0, upper=10000.0)
+    for i in range(1, k):
+        specs[f"{prefix}_w_{i}"] = ParamSpec(init=0.7 if i == 1 else 0.75, lower=0.0, upper=1.0)
+    return specs
+
+
+def _srv_specs(k: int) -> Specs:
+    specs = {}
+    for i in range(1, k + 1):
+        specs[f"srv_rate_{i}"] = ParamSpec(init=0.3 * i, lower=0.0, upper=10000.0)
+    for i in range(1, k):
+        specs[f"srv_w_{i}"] = ParamSpec(init=1.0 / k, lower=0.0, upper=1.0)
+    return specs
+
+
+def run(
+    alignment: str,
+    genetic_code: str = "Universal",
+    tree: Optional[str] = None,
+    branches: str = "All",
+    srv: bool = True,
+    rate_classes: int = 3,
+    srv_classes: int = 3,
+    starting_points: int = 5,
+    precision: float = 1e-4,
+    seed: int = 1,
+) -> BUSTEDResult:
+    data = common.load_codon_data(alignment, genetic_code, tree, branches)
+    gtr = common.fit_gtr(data, precision=1e-5)
+    mg = common.fit_partitioned_mg94(data, gtr, precision=1e-5)
+
+    filt = data.codon_filter
+    gc = data.genetic_code
+    has_background = bool((~data.tested_branches).any())
+    n_groups = 2 if has_background else 1
+    group_of_branch = np.where(data.tested_branches, 0, 1).astype(np.int32)
+    k = rate_classes
+    c_srv = srv_classes if srv else 1
+
+    mg94 = MG94Base(gc, mg.corner_freqs, mg.codon_freqs)
+    pdata = pruning.build_pruning_data(data.tree)
+    engine = BSRELEngine(
+        mg94, pdata, jnp.asarray(filt.leaf_partials()),
+        filt.pattern_weights, group_of_branch, c_srv,
+    )
+
+    # -- parameter space ----------------------------------------------------
+    specs: Specs = dict(MG94Base.theta_specs())
+    specs.update(_distribution_specs("test", k))
+    if has_background:
+        specs.update(_distribution_specs("bkg", k))
+    if srv:
+        specs.update(_srv_specs(c_srv))
+    specs["t"] = ParamSpec(init=0.1, lower=0.0, upper=10000.0,
+                           shape=(data.tree.n_branches,))
+
+    def unpack(params):
+        om_t, w_t = omega_distribution(params, "test", k)
+        if has_background:
+            om_b, w_b = omega_distribution(params, "bkg", k)
+            omegas = jnp.stack([om_t, om_b])
+            weights = jnp.stack([w_t, w_b])
+        else:
+            omegas = om_t[None]
+            weights = w_t[None]
+        if srv:
+            rates, wsrv = srv_distribution(params, c_srv)
+        else:
+            rates, wsrv = jnp.ones((1,)), jnp.ones((1,))
+        return omegas, weights, rates, wsrv
+
+    def loglik(params):
+        omegas, weights, rates, wsrv = unpack(params)
+        return engine.loglik(params, omegas, weights, params["t"], rates, wsrv)
+
+    def site_logliks(params):
+        omegas, weights, rates, wsrv = unpack(params)
+        return engine.site_log_likelihoods(
+            params, omegas, weights, params["t"], rates, wsrv
+        )
+
+    # -- initial values -----------------------------------------------------
+    base_init = {k2: jnp.asarray(v) for k2, v in mg.params.items() if k2.startswith("theta")}
+    base_init["t"] = jnp.asarray(mg.alphas)
+    mean_omega = float(mg.omegas[0])
+
+    rng = np.random.default_rng(seed)
+    candidates = []
+    for i in range(max(4 * starting_points, 8)):
+        cand = dict(base_init)
+        for name, spec in specs.items():
+            if name in cand:
+                continue
+            if name.endswith("_omega_" + str(k)):
+                cand[name] = jnp.asarray(1.0 + rng.exponential(max(mean_omega, 0.5)))
+            elif "_omega_" in name:
+                cand[name] = jnp.asarray(rng.uniform(0.0, min(1.0, max(mean_omega, 0.2))))
+            elif "_w_" in name or name.startswith("srv_w"):
+                cand[name] = jnp.asarray(rng.uniform(0.05, 0.95))
+            elif name.startswith("srv_rate"):
+                cand[name] = jnp.asarray(rng.uniform(0.2, 2.0))
+            else:
+                cand[name] = spec.initial()
+        candidates.append(cand)
+
+    ll_fn = jax.jit(loglik)
+    scored = sorted(
+        ((float(ll_fn(c)), i) for i, c in enumerate(candidates)), reverse=True
+    )
+    # coarse fits from the best few candidates, then polish the winners
+    # (the BS_REL surface is multimodal; the reference uses an initial
+    # grid + Nelder-Mead passes + random restarts, BUSTED.bf:835-909)
+    coarse = []
+    for _, idx in scored[: max(starting_points, 2)]:
+        p0, v0, _ = maximize(loglik, specs, candidates[idx], precision=0.05,
+                             max_iterations=400)
+        coarse.append((float(v0), p0))
+    coarse.sort(key=lambda x: -x[0])
+    alt_params, alt_lnl = None, -np.inf
+    for v0, p0 in coarse[:2]:
+        p1, v1, _ = maximize(loglik, specs, p0, precision=precision)
+        if float(v1) > alt_lnl:
+            alt_lnl, alt_params = float(v1), p1
+
+    # -- null: omega_3 := 1 -------------------------------------------------
+    null_fixed = {f"test_omega_{k}": jnp.asarray(1.0)}
+    null_specs = {k2: v for k2, v in specs.items() if k2 not in null_fixed}
+    null_init = {k2: v for k2, v in alt_params.items() if k2 not in null_fixed}
+
+    def null_loglik(free):
+        merged = dict(free)
+        merged.update(null_fixed)
+        return loglik(merged)
+
+    null_params, null_lnl, _ = maximize(
+        null_loglik, null_specs, null_init, precision=precision
+    )
+    null_lnl = float(null_lnl)
+
+    lrt = max(2.0 * (alt_lnl - null_lnl), 0.0)
+    p_value = 0.5 * common.chi2_sf(lrt, 2)
+
+    # -- site log likelihoods + evidence ratios -----------------------------
+    sll_alt = np.asarray(site_logliks(alt_params))[filt.duplicate_map]
+    full_null = dict(null_params)
+    full_null.update(null_fixed)
+    sll_null = np.asarray(site_logliks(full_null))[filt.duplicate_map]
+    er_optimized = np.exp(sll_alt - sll_null)
+    # 'constrained': omega_3 clamped at 1 without refitting
+    constrained = dict(alt_params)
+    constrained[f"test_omega_{k}"] = jnp.asarray(1.0)
+    sll_con = np.asarray(site_logliks(constrained))[filt.duplicate_map]
+    er_constrained = np.exp(sll_alt - sll_con)
+
+    omegas, weights, rates, wsrv = unpack(alt_params)
+    rate_dists = {
+        "Test": [[float(omegas[0, i]), float(weights[0, i])] for i in range(k)],
+    }
+    if has_background:
+        rate_dists["Background"] = [
+            [float(omegas[1, i]), float(weights[1, i])] for i in range(k)
+        ]
+    if srv:
+        rate_dists["Synonymous site-to-site rates"] = [
+            [float(rates[i]), float(wsrv[i])] for i in range(c_srv)
+        ]
+
+    n_free = sum(
+        int(np.prod(s.shape)) if s.shape else 1 for s in specs.values()
+    )
+    json = analysis_json(
+        info="BUSTED (branch-site unrestricted statistical test of episodic "
+             "diversification) uses a random effects branch-site model",
+        version="4.5",
+        data=data,
+        fits={
+            "Nucleotide GTR": model_fit_entry(
+                gtr.loglik, gtr.n_parameters, data.sample_size,
+                frequencies=gtr.frequencies, display_order=0,
+            ),
+            "MG94xREV with separate rates for branch sets": model_fit_entry(
+                mg.loglik, mg.n_parameters, data.sample_size,
+                frequencies=mg.codon_freqs, display_order=1,
+            ),
+            "Unconstrained model": model_fit_entry(
+                alt_lnl, n_free + 9, data.sample_size,
+                rate_distributions=rate_dists, display_order=2,
+            ),
+            "Constrained model": model_fit_entry(
+                null_lnl, n_free + 8, data.sample_size, display_order=3,
+            ),
+        },
+        extra={
+            "test results": {
+                "LRT": lrt,
+                "p-value": p_value,
+            },
+            "Evidence Ratios": {
+                "optimized null": [er_optimized.tolist()],
+                "constrained": [er_constrained.tolist()],
+            },
+            "Site Log Likelihood": {
+                "unconstrained": [sll_alt.tolist()],
+                "optimized null": [sll_null.tolist()],
+            },
+        },
+    )
+    return BUSTEDResult(
+        json=json, unconstrained_lnl=alt_lnl, null_lnl=null_lnl,
+        lrt=lrt, p_value=p_value, evidence_ratios=er_optimized,
+        alt_params=alt_params, data=data, gtr=gtr, mg94=mg,
+    )

@@ -1,0 +1,124 @@
+"""BS_REL: branch-site random-effects likelihood machinery.
+
+Reference: ``libv3/models/codon/BS_REL.bf`` — "explicit form" models whose
+per-branch transition matrix is a mixture of exponentials
+
+    P_b(t) = sum_k w_k(b) expm(t_b * (Q_syn + omega_k(b) * Q_nonsyn))
+
+(each branch-site combination draws its omega class independently, so the
+mixture happens at the matrix level; ``tree.cpp:2999-3008``).  Site-level
+synonymous rate variation (BUSTED --srv) multiplies every rate entry by a
+unit-mean GDD class value (``rate_variation.modifier_everything``),
+producing a site-level mixture on top.
+
+TPU structure: for G branch groups x K omega classes there are G*K
+generator families sharing spectral decompositions; propagators for all
+(srv class, omega class, branch) combinations come from batched
+two-matmul reconstructions, mixed with class weights, then pruned once
+per srv class.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyphy_tpu.models.base import fill_diagonal_from_rows
+from hyphy_tpu.models.codon import MG94Base
+from hyphy_tpu.models.parameters import stick_breaking_weights
+from hyphy_tpu.ops import expm as expm_ops
+from hyphy_tpu.ops import pruning
+
+
+def omega_distribution(params: Dict, prefix: str, k: int):
+    """(omegas [k], weights [k]) from params ``{prefix}_omega_i`` and
+    stick-breaking fractions ``{prefix}_w_i``."""
+    omegas = jnp.stack([params[f"{prefix}_omega_{i}"] for i in range(1, k + 1)])
+    if k == 1:
+        return omegas, jnp.ones((1,))
+    fracs = jnp.stack([params[f"{prefix}_w_{i}"] for i in range(1, k)])
+    return omegas, stick_breaking_weights(fracs)
+
+
+def srv_distribution(params: Dict, k: int, prefix: str = "srv"):
+    """Unit-mean GDD synonymous-rate classes (rate_variation.bf GDD)."""
+    rates = jnp.stack([params[f"{prefix}_rate_{i}"] for i in range(1, k + 1)])
+    if k == 1:
+        return jnp.ones((1,)), jnp.ones((1,))
+    fracs = jnp.stack([params[f"{prefix}_w_{i}"] for i in range(1, k)])
+    weights = stick_breaking_weights(fracs)
+    mean = jnp.sum(rates * weights)
+    return rates / jnp.maximum(mean, 1e-30), weights
+
+
+class BSRELEngine:
+    """Per-partition BS_REL likelihood evaluator.
+
+    ``group_omegas(params) -> (omegas [G,K], weights [G,K])`` is supplied
+    by the method (BUSTED: test/background 3-class; RELAX: reference +
+    K-power test; aBSREL: per-branch adaptive classes are handled with
+    G = n_branches).
+    """
+
+    def __init__(
+        self,
+        mg94: MG94Base,
+        pdata: pruning.PruningData,
+        leaf_partials: jnp.ndarray,
+        pattern_weights: jnp.ndarray,
+        group_of_branch: np.ndarray,    # [B] int
+        srv_classes: int = 1,
+    ):
+        self.model = mg94
+        self.pdata = pdata
+        self.leaf_partials = leaf_partials
+        self.pattern_weights = jnp.asarray(pattern_weights)
+        self.group_of_branch = jnp.asarray(group_of_branch.astype(np.int32))
+        self.n_groups = int(group_of_branch.max()) + 1
+        self.srv_classes = srv_classes
+        self.freqs = mg94.frequencies
+
+    def mixture_propagators(self, params, omegas, weights, times):
+        """P_mix [C, B, S, S] for srv-scaled times.
+
+        omegas/weights: [G, K]; times: [C, B] (srv rate x branch time).
+        """
+        g, k = omegas.shape
+        q_syn, q_non = self.model.basis_matrices(params)
+        m = fill_diagonal_from_rows(
+            q_syn[None] + omegas.reshape(g * k)[:, None, None] * q_non[None]
+        )                                                       # [G*K, S, S]
+        left, lam, right = expm_ops.reversible_spectral(m, self.freqs)
+        s = m.shape[-1]
+        left = left.reshape(g, k, s, s)[self.group_of_branch]    # [B,K,S,S]
+        right = right.reshape(g, k, s, s)[self.group_of_branch]
+        lam_b = lam.reshape(g, k, s)[self.group_of_branch]       # [B,K,S]
+        w_b = weights[self.group_of_branch]                      # [B,K]
+        # el: [C,B,K,S]; fold the class weights into the scaled eigenbasis so
+        # the mixture sum contracts in the same einsum
+        el = jnp.exp(lam_b[None] * times[:, :, None, None])
+        el = el * w_b[None, :, :, None]
+        p_mix = jnp.einsum("bkij,cbkj,bkjl->cbil", left, el, right)
+        p_mix = jnp.maximum(p_mix, 0.0)
+        return expm_ops.row_renormalize(p_mix)
+
+    def site_log_likelihoods(self, params, omegas, weights, t_b, srv_rates, srv_weights):
+        """[patterns] log-likelihood vector for the mixture model."""
+        times = srv_rates[:, None] * t_b[None, :]                # [C, B]
+        p_mix = self.mixture_propagators(params, omegas, weights, times)
+        sll = jax.vmap(
+            lambda p: pruning.site_log_likelihoods(
+                p, self.leaf_partials, self.freqs, self.pdata
+            )
+        )(p_mix)                                                 # [C, patterns]
+        logw = jnp.log(jnp.maximum(srv_weights, 1e-300))[:, None]
+        return jax.scipy.special.logsumexp(sll + logw, axis=0)
+
+    def loglik(self, params, omegas, weights, t_b, srv_rates, srv_weights):
+        sll = self.site_log_likelihoods(
+            params, omegas, weights, t_b, srv_rates, srv_weights
+        )
+        return jnp.dot(sll, self.pattern_weights)

@@ -1,0 +1,38 @@
+"""BUSTED golden test (reference: tests/hbltests/libv3/BUSTED.wbf:
+CD2.nex, branches=GROUP1, SRV=Yes)."""
+
+import numpy as np
+import pytest
+
+from hyphy_tpu.methods import busted
+
+
+@pytest.fixture(scope="module")
+def busted_result(cd2_path):
+    return busted.run(cd2_path, branches="Group1", precision=1e-5)
+
+
+class TestBUSTEDGoldens:
+    def test_unconstrained_loglik(self, busted_result):
+        """BUSTED.wbf:19-21: unconstrained lnL -3413.01 (0.1%)."""
+        assert busted_result.unconstrained_lnl == pytest.approx(-3413.01, rel=0.001)
+
+    def test_p_value(self, busted_result):
+        """BUSTED.wbf:22-24: p-value 0.2264 (1%)."""
+        assert busted_result.p_value == pytest.approx(0.2264, rel=0.02)
+
+    def test_evidence_ratio_sum(self, busted_result):
+        """BUSTED.wbf:26-27: sum of optimized-null ERs = 188.49 (1%)."""
+        assert busted_result.evidence_ratios.sum() == pytest.approx(188.49, rel=0.01)
+
+    def test_null_is_worse(self, busted_result):
+        assert busted_result.null_lnl <= busted_result.unconstrained_lnl
+
+    def test_json_contract(self, busted_result):
+        j = busted_result.json
+        assert "test results" in j and "p-value" in j["test results"]
+        assert "Evidence Ratios" in j
+        rd = j["fits"]["Unconstrained model"]["Rate Distributions"]
+        assert "Test" in rd and "Background" in rd
+        # omega_3 >= 1 class present with a weight
+        assert rd["Test"][-1][0] >= 1.0
