@@ -1,0 +1,145 @@
+"""Command-line interface: ``hyphy-tpu <method> --alignment ... [options]``.
+
+Mirrors the reference binary's method-shortcut surface
+(``src/mains/unix.cpp:976-987``: ``hyphy fel --alignment ...``) and writes
+``<alignment>.<METHOD>.json`` like the reference analyses do.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _bool(v: str) -> bool:
+    return str(v).strip().lower() in ("yes", "true", "1", "on")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="hyphy-tpu",
+        description="TPU-native phylogenetic selection analyses "
+                    "(FEL, SLAC, MEME, FUBAR, BUSTED, RELAX, aBSREL)",
+    )
+    sub = parser.add_subparsers(dest="method", required=True)
+
+    def common_args(p):
+        p.add_argument("--alignment", required=True, help="in-frame codon alignment (FASTA/NEXUS/PHYLIP)")
+        p.add_argument("--tree", default=None, help="newick tree (file or string; default: tree in the alignment file)")
+        p.add_argument("--code", default="Universal", help="genetic code")
+        p.add_argument("--output", default=None, help="output JSON path")
+
+    p = sub.add_parser("fel", help="Fixed Effects Likelihood site selection")
+    common_args(p)
+    p.add_argument("--branches", default="All")
+    p.add_argument("--srv", default="Yes")
+    p.add_argument("--pvalue", type=float, default=0.1)
+
+    p = sub.add_parser("slac", help="Single-Likelihood Ancestor Counting")
+    common_args(p)
+    p.add_argument("--branches", default="All")
+    p.add_argument("--pvalue", type=float, default=0.1)
+
+    p = sub.add_parser("meme", help="Mixed Effects Model of Evolution")
+    common_args(p)
+    p.add_argument("--branches", default="All")
+    p.add_argument("--pvalue", type=float, default=0.1)
+
+    p = sub.add_parser("fubar", help="Fast Unconstrained Bayesian AppRoximation")
+    common_args(p)
+    p.add_argument("--branches", default="All")
+    p.add_argument("--grid", type=int, default=20)
+    p.add_argument("--method", dest="posterior_method", default="Variational-Bayes",
+                   choices=["Variational-Bayes", "Collapsed-Gibbs"])
+    p.add_argument("--concentration_parameter", type=float, default=0.5)
+
+    p = sub.add_parser("busted", help="Branch-Site Unrestricted Statistical Test")
+    common_args(p)
+    p.add_argument("--branches", default="All")
+    p.add_argument("--srv", default="Yes")
+    p.add_argument("--rates", type=int, default=3)
+    p.add_argument("--syn-rates", dest="syn_rates", type=int, default=3)
+    p.add_argument("--starting-points", dest="starting_points", type=int, default=1)
+
+    p = sub.add_parser("relax", help="Relaxation of selection test")
+    common_args(p)
+    p.add_argument("--test", required=True)
+    p.add_argument("--reference", default=None)
+    p.add_argument("--rates", type=int, default=3)
+    p.add_argument("--models", default="All", choices=["All", "Minimal"])
+
+    p = sub.add_parser("absrel", help="adaptive Branch-Site REL")
+    common_args(p)
+    p.add_argument("--branches", default="All")
+    p.add_argument("--pvalue", type=float, default=0.05)
+
+    return parser
+
+
+def _read_tree_arg(tree):
+    if tree is None:
+        return None
+    import os
+
+    if os.path.exists(tree):
+        with open(tree) as fh:
+            return fh.read().strip()
+    return tree
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from hyphy_tpu.io.json_out import write_json
+
+    method = args.method
+    tree = _read_tree_arg(args.tree)
+    t0 = time.time()
+
+    if method == "fel":
+        from hyphy_tpu.methods import fel as mod
+        result = mod.run(args.alignment, args.code, tree, args.branches,
+                         srv=_bool(args.srv), pvalue=args.pvalue)
+    elif method == "slac":
+        from hyphy_tpu.methods import slac as mod
+        result = mod.run(args.alignment, args.code, tree, args.branches,
+                         pvalue=args.pvalue)
+    elif method == "meme":
+        from hyphy_tpu.methods import meme as mod
+        result = mod.run(args.alignment, args.code, tree, args.branches,
+                         pvalue=args.pvalue)
+    elif method == "fubar":
+        from hyphy_tpu.methods import fubar as mod
+        result = mod.run(args.alignment, args.code, tree, args.branches,
+                         grid_points=args.grid, method=args.posterior_method,
+                         concentration=args.concentration_parameter)
+    elif method == "busted":
+        from hyphy_tpu.methods import busted as mod
+        result = mod.run(args.alignment, args.code, tree, args.branches,
+                         srv=_bool(args.srv), rate_classes=args.rates,
+                         srv_classes=args.syn_rates,
+                         starting_points=max(args.starting_points, 2))
+    elif method == "relax":
+        from hyphy_tpu.methods import relax as mod
+        result = mod.run(args.alignment, args.code, tree, test=args.test,
+                         reference=args.reference, rate_classes=args.rates,
+                         models=args.models)
+    elif method == "absrel":
+        from hyphy_tpu.methods import absrel as mod
+        result = mod.run(args.alignment, args.code, tree, args.branches,
+                         pvalue=args.pvalue)
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown method {method}")
+
+    out_path = args.output or f"{args.alignment}.{method.upper()}.json"
+    result.json.setdefault("timers", {})["Total time"] = {
+        "timer": round(time.time() - t0, 2), "order": 0,
+    }
+    write_json(result.json, out_path)
+    print(f"Analysis complete. Results written to {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,289 @@
+"""aBSREL — adaptive Branch-Site Random Effects Likelihood.
+
+Reference: ``SelectionAnalyses/aBSREL.bf``.  Pipeline: GTR -> MG94 ->
+per-branch one-omega baseline -> step-up complexity selection (branches
+sorted by length; add omega classes while AIC-c improves, max 5;
+``aBSREL.bf:385-460``) -> per-branch LRTs (max-omega := 1 null) with
+p = 0.5 * (1 - 0.4 chi2_1 - 0.6 chi2_2) (``aBSREL.bf:935-939``) and
+Holm-Bonferroni correction over tested branches.
+
+TPU structure: ragged per-branch class counts are padded to KMAX with
+stick-breaking fractions forced to 1 at the branch's last active class
+(zero weight beyond) — `n_classes` is a traced array, so one compiled
+likelihood serves every step-up state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyphy_tpu.io.json_out import analysis_json, model_fit_entry, aic_c
+from hyphy_tpu.methods import common
+from hyphy_tpu.models.bsrel import BSRELEngine
+from hyphy_tpu.models.codon import MG94Base
+from hyphy_tpu.models.parameters import ParamSpec, Specs
+from hyphy_tpu.ops import pruning
+from hyphy_tpu.optimize.core import maximize
+
+KMAX = 5  # reference: at most 5 rate classes per branch (aBSREL.bf:29)
+
+
+def _progress(msg):
+    if os.environ.get("HYPHY_TPU_PROGRESS", "1") != "0":
+        print(f"[absrel {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def holm_bonferroni(p_values: Dict[str, float]) -> Dict[str, float]:
+    """Holm-Bonferroni correction (reference: math.HolmBonferroniCorrection)."""
+    items = sorted(p_values.items(), key=lambda kv: kv[1])
+    m = len(items)
+    corrected = {}
+    running = 0.0
+    for rank, (name, p) in enumerate(items):
+        adj = min(1.0, p * (m - rank))
+        running = max(running, adj)
+        corrected[name] = running
+    return corrected
+
+
+@dataclasses.dataclass
+class ABSRELResult:
+    json: Dict
+    full_lnl: float
+    baseline_lnl: float
+    n_classes: np.ndarray
+    branch_lrt: Dict[str, float]
+    branch_p: Dict[str, float]
+    branch_p_corrected: Dict[str, float]
+    positive_branches: list
+    data: common.LoadedData
+    gtr: common.GTRFit
+    mg94: common.MG94Fit
+
+
+def run(
+    alignment: str,
+    genetic_code: str = "Universal",
+    tree: Optional[str] = None,
+    branches: str = "All",
+    pvalue: float = 0.05,
+    precision: float = 1e-4,
+) -> ABSRELResult:
+    data = common.load_codon_data(alignment, genetic_code, tree, branches)
+    _progress("fitting nucleotide GTR")
+    gtr = common.fit_gtr(data, precision=1e-5)
+    _progress(f"GTR lnL {gtr.loglik:.3f}; fitting global MG94xREV")
+    mg = common.fit_partitioned_mg94(data, gtr, precision=1e-5)
+    _progress(f"MG94 lnL {mg.loglik:.3f}")
+
+    filt = data.codon_filter
+    gc = data.genetic_code
+    tree_obj = data.tree
+    n_branches = tree_obj.n_branches
+    tested = data.tested_branches
+    sample_size = data.sample_size
+
+    mg94 = MG94Base(gc, mg.corner_freqs, mg.codon_freqs)
+    pdata = pruning.build_pruning_data(tree_obj)
+    engine = BSRELEngine(
+        mg94, pdata, jnp.asarray(filt.leaf_partials()), filt.pattern_weights,
+        np.arange(n_branches, dtype=np.int32),
+    )
+
+    specs: Specs = dict(MG94Base.theta_specs())
+    specs["t"] = ParamSpec(init=0.05, lower=0.0, upper=10000.0, shape=(n_branches,))
+    specs["omega_last"] = ParamSpec(init=0.3, lower=0.0, upper=10000.0, shape=(n_branches,))
+    specs["omega_raw"] = ParamSpec(init=0.2, lower=0.0, upper=1.0, shape=(n_branches, KMAX - 1))
+    specs["fracs"] = ParamSpec(init=0.5, lower=0.0, upper=1.0, shape=(n_branches, KMAX - 1))
+
+    idx_k = jnp.arange(KMAX)
+
+    def branch_distributions(params, n_classes):
+        """(omegas [B,KMAX], weights [B,KMAX]) with padding beyond the
+        branch's active class count."""
+        n = jnp.asarray(n_classes)[:, None]                  # [B,1]
+        omegas = jnp.where(
+            idx_k[None, :] < n - 1,
+            jnp.pad(params["omega_raw"], ((0, 0), (0, 1)), constant_values=1.0),
+            jnp.where(idx_k[None, :] == n - 1, params["omega_last"][:, None], 1.0),
+        )
+        fr = jnp.where(
+            idx_k[None, : KMAX - 1] >= n - 1, 1.0, params["fracs"]
+        )
+        rem = jnp.concatenate(
+            [jnp.ones((n_branches, 1)), jnp.cumprod(1.0 - fr, axis=1)], axis=1
+        )
+        weights = jnp.concatenate([fr, jnp.ones((n_branches, 1))], axis=1) * rem
+        return omegas, weights
+
+    def loglik(params, n_classes):
+        omegas, weights = branch_distributions(params, n_classes)
+        return engine.loglik(
+            params, omegas, weights, params["t"], jnp.ones((1,)), jnp.ones((1,))
+        )
+
+    def fit(init, n_classes, fixed=None, prec=precision, max_iterations=None):
+        fixed = fixed or {}
+        free_specs = {k: v for k, v in specs.items() if k not in fixed}
+        free_init = {k: v for k, v in init.items() if k in free_specs}
+
+        def obj(free):
+            merged = dict(free)
+            merged.update(fixed)
+            return loglik(merged, jnp.asarray(n_classes))
+
+        p, v, _ = maximize(obj, free_specs, free_init, precision=prec,
+                           max_iterations=max_iterations)
+        out = dict(p)
+        out.update(fixed)
+        return out, float(v)
+
+    def n_params(n_classes):
+        # per branch: t + n omegas + (n-1) weights; + 5 thetas + 9 empirical
+        return int(5 + 9 + sum(2 * int(c) for c in n_classes))
+
+    # -- baseline: one omega per branch ------------------------------------
+    n_classes = np.ones(n_branches, dtype=np.int64)
+    init = {k: s.initial() for k, s in specs.items()}
+    init.update({k: jnp.asarray(v) for k, v in mg.params.items() if k.startswith("theta")})
+    init["t"] = jnp.asarray(np.maximum(mg.alphas, 1e-6))
+    init["omega_last"] = jnp.full((n_branches,), float(np.mean(mg.omegas)))
+    _progress("fitting baseline (one omega per branch)")
+    base_params, base_lnl = fit(init, n_classes, prec=precision)
+    best_aicc = aic_c(base_lnl, n_params(n_classes), sample_size)
+    _progress(f"baseline lnL {base_lnl:.3f}, AIC-c {best_aicc:.2f}")
+
+    # -- step-up complexity selection --------------------------------------
+    base_bl = mg.branch_lengths
+    order = np.argsort(-base_bl)
+    params = base_params
+    current_lnl = base_lnl
+    for b in order:
+        while n_classes[b] < KMAX:
+            trial = n_classes.copy()
+            trial[b] += 1
+            # seed the new class: previous last omega becomes the new last;
+            # earlier classes keep values
+            trial_init = dict(params)
+            cand_params, cand_lnl = fit(trial_init, trial, prec=0.01,
+                                        max_iterations=250)
+            cand_aicc = aic_c(cand_lnl, n_params(trial), sample_size)
+            if cand_aicc < best_aicc:
+                n_classes = trial
+                params, current_lnl = cand_params, cand_lnl
+                best_aicc = cand_aicc
+                _progress(
+                    f"branch {tree_obj.names[b]} -> {n_classes[b]} classes "
+                    f"(lnL {cand_lnl:.3f}, AIC-c {cand_aicc:.2f})"
+                )
+            else:
+                break
+
+    # polish the full adaptive model
+    params, full_lnl = fit(params, n_classes, prec=precision)
+    _progress(f"full adaptive model lnL {full_lnl:.3f}")
+
+    # -- per-branch tests ---------------------------------------------------
+    omegas_mle, weights_mle = (np.asarray(x) for x in branch_distributions(params, n_classes))
+    branch_lrt, branch_p = {}, {}
+    for b in range(n_branches):
+        name = tree_obj.names[b]
+        if not tested[b]:
+            continue
+        max_omega = omegas_mle[b, n_classes[b] - 1]
+        if max_omega <= 1.0:
+            branch_lrt[name] = 0.0
+            branch_p[name] = 1.0
+            continue
+        # null: the branch's last active omega := 1
+        null_init = dict(params)
+        null_init["omega_last"] = params["omega_last"].at[b].set(1.0) \
+            if hasattr(params["omega_last"], "at") else params["omega_last"]
+        fixed_omega_last = jnp.asarray(null_init["omega_last"])
+
+        def null_obj(free):
+            merged = dict(free)
+            merged["omega_last"] = jnp.asarray(merged["omega_last"]).at[b].set(1.0)
+            return loglik(merged, jnp.asarray(n_classes))
+
+        free_specs = dict(specs)
+        free_init = {k: v for k, v in null_init.items() if k in free_specs}
+        p_null, v_null, _ = maximize(null_obj, free_specs, free_init,
+                                     precision=precision)
+        lrt = max(2.0 * (full_lnl - float(v_null)), 0.0)
+        branch_lrt[name] = lrt
+        branch_p[name] = 0.5 * (
+            1.0
+            - 0.4 * (1.0 - common.chi2_sf(lrt, 1))
+            - 0.6 * (1.0 - common.chi2_sf(lrt, 2))
+        )
+        _progress(f"tested {name}: LRT {lrt:.3f}, p {branch_p[name]:.4f}")
+
+    corrected = holm_bonferroni(branch_p) if branch_p else {}
+    positives = [n for n, p in corrected.items() if p <= pvalue]
+
+    # -- JSON ---------------------------------------------------------------
+    rate_syn, rate_non = (float(x) for x in mg94.syn_nonsyn_unit_rates(params))
+    t_mle = np.asarray(params["t"])
+    mean_omega_b = (omegas_mle * weights_mle).sum(axis=1)
+    full_bl = t_mle * (rate_syn + mean_omega_b * rate_non) / 3.0
+
+    branch_attributes = {"0": {}}
+    for b in range(n_branches):
+        name = tree_obj.names[b]
+        dist = [
+            [float(omegas_mle[b, i]), float(weights_mle[b, i])]
+            for i in range(n_classes[b])
+        ]
+        entry = {
+            "Rate classes": int(n_classes[b]),
+            "Rate Distributions": dist,
+            "Full adaptive model": float(full_bl[b]),
+            "Baseline MG94xREV": float(base_bl[b]),
+        }
+        if name in branch_lrt:
+            entry["LRT"] = branch_lrt[name]
+            entry["Uncorrected P-value"] = branch_p[name]
+            entry["Corrected P-value"] = corrected[name]
+        branch_attributes["0"][name] = entry
+
+    json = analysis_json(
+        info="aBSREL (Adaptive branch-site random effects likelihood) uses an "
+             "adaptive random effects branch-site model framework",
+        version="2.3",
+        data=data,
+        fits={
+            "Nucleotide GTR": model_fit_entry(
+                gtr.loglik, gtr.n_parameters, sample_size,
+                frequencies=gtr.frequencies, display_order=0,
+            ),
+            "Baseline MG94xREV": model_fit_entry(
+                base_lnl, n_params(np.ones(n_branches)) , sample_size, display_order=1,
+            ),
+            "Full adaptive model": model_fit_entry(
+                full_lnl, n_params(n_classes), sample_size, display_order=2,
+            ),
+        },
+        extra={
+            "test results": {
+                "positive test results": len(positives),
+                "tested": int(tested.sum()),
+                "P-value threshold": pvalue,
+            },
+            "branch attributes": branch_attributes,
+        },
+    )
+    return ABSRELResult(
+        json=json, full_lnl=full_lnl, baseline_lnl=base_lnl,
+        n_classes=n_classes, branch_lrt=branch_lrt, branch_p=branch_p,
+        branch_p_corrected=corrected, positive_branches=positives,
+        data=data, gtr=gtr, mg94=mg,
+    )

@@ -135,6 +135,75 @@ def total_log_likelihood(site_loglik: jnp.ndarray, weights: jnp.ndarray) -> jnp.
     return jnp.dot(site_loglik, weights)
 
 
+def single_site_log_likelihood_spectral_mixture(
+    left: jnp.ndarray,          # [M, S, S] spectral factors per generator family
+    lam: jnp.ndarray,           # [M, S]
+    right: jnp.ndarray,         # [M, S, S]
+    comp_index: jnp.ndarray,    # [n_branches, K] family index per branch component
+    comp_weight: jnp.ndarray,   # [n_branches, K] mixture weight per component
+    times: jnp.ndarray,         # [n_branches] per-branch expm times
+    leaf_vectors: jnp.ndarray,  # [n_leaves, S]
+    root_freqs: jnp.ndarray,
+    data: PruningData,
+) -> jnp.ndarray:
+    """One site's log-likelihood when each branch's transition matrix is a
+    mixture of exponentials sharing M generator families:
+    ``P_b = sum_k w[b,k] expm(t_b * Q_{comp_index[b,k]})`` (BS_REL /
+    MEME branch-site mixtures, reference tree.cpp:2999-3008) — with the
+    spectral factors acting on CLV vectors.
+
+    Internally the (comp_index, comp_weight) pairs become a dense
+    ``[n_branches, M]`` weight table so every family's message is one
+    shared matmul over all children (no per-branch matrix gathers).
+    """
+    n_nodes = data.n_nodes
+    states = leaf_vectors.shape[-1]
+    dtype = leaf_vectors.dtype
+    n_b, n_k = comp_index.shape
+    n_fam = left.shape[0]
+
+    # dense weights [n_nodes+1, M]; scratch rows get weight 0 everywhere
+    # (their message is fixed to the identity: t=0 on every family and the
+    # mixture then sums to ... handled by putting full weight on family 0)
+    w_dense = jnp.zeros((n_nodes + 1, n_fam), dtype=dtype)
+    rows = jnp.repeat(jnp.arange(n_b), n_k)
+    w_dense = w_dense.at[rows, comp_index.reshape(-1)].add(comp_weight.reshape(-1))
+    w_dense = w_dense.at[n_b:, 0].set(1.0)  # scratch rows: family 0, t=0
+    t_all = jnp.zeros((n_nodes + 1,), dtype=dtype).at[:n_b].set(times)
+    el_all = jnp.exp(lam[None, :, :] * t_all[:, None, None])  # [n_nodes+1, M, S]
+
+    clv = jnp.ones((n_nodes + 1 + data.max_width, states), dtype=dtype)
+    clv = clv.at[: data.n_leaves].set(leaf_vectors)
+    log_scale = jnp.zeros((), dtype=dtype)
+
+    def level_step(carry, level):
+        clv, log_scale = carry
+        node_ids, child_ids = level
+        flat = child_ids.reshape(-1)                 # [F]
+        cc = clv[flat]                               # [F, S]
+        # all families share the child vectors: [M, F, S] via matmuls
+        v = jnp.einsum("fs,mks->mfk", cc, right)     # right action
+        v = v * jnp.swapaxes(el_all[flat], 0, 1)     # [M, F, S] scale
+        msg_m = jnp.einsum("mfk,mik->mfi", v, left)  # left action
+        msg = jnp.einsum("mfi,fm->fi", msg_m, w_dense[flat])
+        prod = jnp.prod(
+            msg.reshape(child_ids.shape[0], data.arity, states), axis=1
+        )
+        mx = jnp.max(prod, axis=-1, keepdims=True)
+        mx = jnp.where(mx > 0, mx, 1.0)
+        prod = prod / mx
+        log_scale = log_scale + jnp.sum(jnp.log(mx))
+        clv = clv.at[node_ids].set(prod, unique_indices=True)
+        return (clv, log_scale), None
+
+    (clv, log_scale), _ = jax.lax.scan(
+        level_step, (clv, log_scale), (data.node_ids, data.child_ids)
+    )
+    root_like = clv[n_nodes - 1] @ root_freqs.astype(dtype)
+    root_like = jnp.maximum(root_like, jnp.finfo(dtype).tiny)
+    return jnp.log(root_like) + log_scale
+
+
 def single_site_log_likelihood_spectral(
     left: jnp.ndarray,        # [S, S]  spectral factors of the shared Q
     lam: jnp.ndarray,         # [S]

@@ -3,9 +3,9 @@
 Accepts the reference dialect (``src/core/topology.cpp:292``
 ``MainTreeConstructor``): branch lengths, quoted names, ``{MODEL}`` branch
 annotations, comments in ``[...]``, and multifurcations.  Unnamed internal
-nodes are named ``Node<k>`` where ``k`` is the preorder index of the node's
-opening parenthesis (root = 0) — required for branch-name parity with the
-reference's JSON output.
+nodes are named ``Node<k>`` where ``k`` is the node's preorder index
+counting EVERY node including leaves (root = 0) — verified against the
+reference binary's JSON branch names on CD2.nex (Node1/2/3/8/9/12).
 """
 
 from __future__ import annotations
@@ -34,7 +34,6 @@ def parse_newick(text: str, internal_prefix: str = "Node") -> ParseNode:
         s = s[:-1]
     pos = 0
     n = len(s)
-    paren_counter = 0
 
     def skip_ws():
         nonlocal pos
@@ -90,12 +89,10 @@ def parse_newick(text: str, internal_prefix: str = "Node") -> ParseNode:
                 return
 
     def subtree() -> ParseNode:
-        nonlocal pos, paren_counter
+        nonlocal pos
         skip_ws()
         node = ParseNode()
         if pos < n and s[pos] == "(":
-            my_number = paren_counter
-            paren_counter += 1
             pos += 1
             while True:
                 child = subtree()
@@ -110,8 +107,6 @@ def parse_newick(text: str, internal_prefix: str = "Node") -> ParseNode:
                     break
                 raise ValueError(f"newick parse error at {pos}: {s[max(0,pos-20):pos+20]!r}")
             node.name = read_name()
-            if not node.name:
-                node.name = f"{internal_prefix}{my_number}"
         else:
             node.name = read_name()
             if not node.name:
@@ -123,4 +118,18 @@ def parse_newick(text: str, internal_prefix: str = "Node") -> ParseNode:
     skip_ws()
     if pos < n:
         raise ValueError(f"trailing characters in newick at {pos}: {s[pos:pos+30]!r}")
+
+    # name unnamed internal nodes by preorder index over ALL nodes
+    # (reference numbering; root = 0)
+    counter = 0
+
+    def assign(nd: ParseNode):
+        nonlocal counter
+        if not nd.is_leaf and not nd.name:
+            nd.name = f"{internal_prefix}{counter}"
+        counter += 1
+        for c in nd.children:
+            assign(c)
+
+    assign(root)
     return root

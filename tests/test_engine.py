@@ -21,10 +21,10 @@ class TestTree:
         aln = read_alignment(cd2_path)
         tree = Tree.from_newick(aln.trees["tree"])
         assert tree.n_leaves == 10
-        # reference numbering: unnamed internal node k = preorder index of
-        # its '(' (root = Node0)
+        # reference numbering: unnamed internal node k = preorder index over
+        # all nodes incl. leaves (verified vs reference JSON on CD2)
         assert set(tree.names[tree.n_leaves :]) == {
-            f"Node{i}" for i in range(7)
+            "Node0", "Node1", "Node2", "Node3", "Node8", "Node9", "Node12"
         }
         levels = tree.levels()
         assert sum(len(l) for l in levels) == tree.n_internal
@@ -40,7 +40,7 @@ class TestTree:
         tree = Tree.from_newick(aln.trees["tree"])
         mask = tree.select_branches("Group1")
         names = {tree.names[i] for i in np.nonzero(mask)[0]}
-        assert names == {"RhMonkey", "Human", "Chimp", "Node6"}
+        assert names == {"RhMonkey", "Human", "Chimp", "Node12"}
 
     def test_branch_lengths_roundtrip(self):
         tree = Tree.from_newick("((a:0.1,b:0.2)n:0.3,c:0.4)")
