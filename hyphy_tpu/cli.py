@@ -75,6 +75,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--branches", default="All")
     p.add_argument("--pvalue", type=float, default=0.05)
 
+    p = sub.add_parser("contrast-fel", help="Tests for different selective pressures between branch sets")
+    common_args(p)
+    p.add_argument("--branch-set", dest="branch_sets", action="append",
+                   default=None, help="tested branch label (repeatable)")
+    p.add_argument("--srv", default="Yes")
+    p.add_argument("--pvalue", type=float, default=0.05)
+    p.add_argument("--qvalue", type=float, default=0.20)
+
+    p = sub.add_parser("leisr", help="Per-site relative evolutionary rates (Rate4Site-like)")
+    common_args(p)
+    p.add_argument("--type", dest="datatype", default="nucleotide",
+                   choices=["nucleotide", "protein"])
+    p.add_argument("--model", default="GTR", help="GTR/HKY85/JC69 or LG/WAG/JTT/...")
+
+    p = sub.add_parser("fade", help="FUBAR Approach to Directional Evolution (protein, rooted tree)")
+    common_args(p)
+    p.add_argument("--branches", default="All")
+    p.add_argument("--model", default="WAG")
+    p.add_argument("--grid", type=int, default=20)
+    p.add_argument("--method", dest="posterior_method", default="Variational-Bayes",
+                   choices=["Variational-Bayes", "Collapsed-Gibbs", "Metropolis-Hastings"])
+    p.add_argument("--concentration_parameter", type=float, default=0.5)
+
     return parser
 
 
@@ -129,6 +152,21 @@ def main(argv=None) -> int:
         from hyphy_tpu.methods import absrel as mod
         result = mod.run(args.alignment, args.code, tree, args.branches,
                          pvalue=args.pvalue)
+    elif method == "contrast-fel":
+        from hyphy_tpu.methods import contrast_fel as mod
+        result = mod.run(args.alignment, args.code, tree,
+                         test_labels=args.branch_sets, srv=_bool(args.srv),
+                         pvalue=args.pvalue, qvalue=args.qvalue)
+    elif method == "leisr":
+        from hyphy_tpu.methods import leisr as mod
+        result = mod.run(args.alignment, datatype=args.datatype,
+                         model=args.model, tree=tree)
+    elif method == "fade":
+        from hyphy_tpu.methods import fade as mod
+        result = mod.run(args.alignment, model=args.model, tree=tree,
+                         branches=args.branches, grid_points=args.grid,
+                         method=args.posterior_method,
+                         concentration=args.concentration_parameter)
     else:  # pragma: no cover
         raise SystemExit(f"unknown method {method}")
 

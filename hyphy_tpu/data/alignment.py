@@ -145,16 +145,29 @@ def parse_nexus(text: str) -> Alignment:
                 mc = re.search(r"MATCHCHAR\s*=\s*(\S)", fmt, re.IGNORECASE)
                 if mc:
                     matchchar = mc.group(1)
+            nolabels = bool(
+                re.search(r"\bNOLABELS\b", fm.group(1), re.IGNORECASE)
+            ) if fm else False
             mm = re.search(r"MATRIX(.*?);", body, re.IGNORECASE | re.DOTALL)
             if not mm:
                 continue
+            row = 0
             for line in mm.group(1).splitlines():
                 line = line.strip()
                 if not line:
                     continue
                 toks = _NEXUS_TOKEN.findall(line)
-                name = _unquote(toks[0])
-                seq = "".join(toks[1:])
+                if nolabels:
+                    # unlabeled rows pair with TAXLABELS in order,
+                    # wrapping for interleaved matrices
+                    if not taxlabels:
+                        raise ValueError("NEXUS NOLABELS matrix without TAXLABELS")
+                    name = taxlabels[row % len(taxlabels)]
+                    row += 1
+                    seq = "".join(toks)
+                else:
+                    name = _unquote(toks[0])
+                    seq = "".join(toks[1:])
                 if name not in seq_map:
                     seq_map[name] = []
                     names.append(name)

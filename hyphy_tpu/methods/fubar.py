@@ -134,35 +134,13 @@ def run(
     cond /= cond.sum(axis=0, keepdims=True)
     n_sites = cond.shape[1]
 
-    # posterior over grid weights
-    rng = np.random.default_rng(seed)
-    if method == "Variational-Bayes":
-        w = cond.sum(axis=1)
-        for _ in range(100000):
-            last = w
-            num = last[:, None] * cond
-            site_post = num / num.sum(axis=0, keepdims=True)
-            w = site_post.sum(axis=1) + concentration
-            w = w / w.sum()
-            if np.abs(w - last).max() <= 1e-8:
-                break
-        posterior_mean = w
-    elif method == "Collapsed-Gibbs":
-        current = rng.dirichlet(np.full(n_grid, concentration))
-        n_samples = samples
-        stride = max((chain_length - burn_in) // n_samples, 1)
-        acc = []
-        for step in range(1, chain_length + 1):
-            num = current[:, None] * cond
-            site_post = num / num.sum(axis=0, keepdims=True)
-            current = rng.dirichlet(site_post.sum(axis=1) + concentration)
-            if step > burn_in and (step - burn_in + 1) % stride == 0:
-                acc.append(current)
-                if len(acc) >= n_samples:
-                    break
-        posterior_mean = np.mean(acc, axis=0)
-    else:
-        raise ValueError(f"unknown FUBAR method {method!r}")
+    # posterior over grid weights (shared machinery, grid_compute.ibf)
+    from hyphy_tpu.methods.grid_bayes import posterior_over_grid
+
+    posterior_mean, _ = posterior_over_grid(
+        method, cond, concentration, chain_length, burn_in, samples,
+        rng=np.random.default_rng(seed),
+    )
 
     # per-site statistics (FUBAR.bf phase 4)
     p_ks = posterior_mean @ cond                         # [sites]
