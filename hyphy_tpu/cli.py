@@ -83,6 +83,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pvalue", type=float, default=0.05)
     p.add_argument("--qvalue", type=float, default=0.20)
 
+    p = sub.add_parser("gard", help="Genetic Algorithm for Recombination Detection")
+    p.add_argument("--alignment", required=True)
+    p.add_argument("--output", default=None)
+    p.add_argument("--max-breakpoints", dest="max_breakpoints", type=int, default=10)
+    p.add_argument("--checkpoint", default=None, help="resumable cache JSON")
+
+    p = sub.add_parser("fmm", help="FitMultiModel: double/triple-hit codon model comparison")
+    common_args(p)
+
     p = sub.add_parser("leisr", help="Per-site relative evolutionary rates (Rate4Site-like)")
     common_args(p)
     p.add_argument("--type", dest="datatype", default="nucleotide",
@@ -117,7 +126,7 @@ def main(argv=None) -> int:
     from hyphy_tpu.io.json_out import write_json
 
     method = args.method
-    tree = _read_tree_arg(args.tree)
+    tree = _read_tree_arg(getattr(args, "tree", None))
     t0 = time.time()
 
     if method == "fel":
@@ -157,6 +166,13 @@ def main(argv=None) -> int:
         result = mod.run(args.alignment, args.code, tree,
                          test_labels=args.branch_sets, srv=_bool(args.srv),
                          pvalue=args.pvalue, qvalue=args.qvalue)
+    elif method == "gard":
+        from hyphy_tpu.methods import gard as mod
+        result = mod.run(args.alignment, max_breakpoints=args.max_breakpoints,
+                         checkpoint=args.checkpoint)
+    elif method == "fmm":
+        from hyphy_tpu.methods import fmm as mod
+        result = mod.run(args.alignment, args.code, tree)
     elif method == "leisr":
         from hyphy_tpu.methods import leisr as mod
         result = mod.run(args.alignment, datatype=args.datatype,

@@ -230,6 +230,19 @@ class DataFilter:
         """Dense [taxa, patterns, states] leaf partial likelihoods."""
         return self.resolution_table[self.leaf_codes]
 
+    def subset_sites(self, sites: np.ndarray) -> "DataFilter":
+        """New filter over a raw-site subset (reference: CreateFilter with
+        a site range — GARD partitions, sliding windows)."""
+        masks = self.char_masks[:, np.asarray(sites, dtype=np.int64)]
+        if self.datatype == "codon":
+            return DataFilter._build_codon(
+                self.names, masks, self.genetic_code, self.file_name
+            )
+        return DataFilter._build_simple(
+            self.names, masks, self.n_states, self.datatype,
+            self.genetic_code, self.file_name,
+        )
+
     def constant_pattern_mask(self) -> np.ndarray:
         """[patterns] bool: constant-with-matching-ambiguities columns
         (reference: ``alignments.Extract_site_patterns`` is_constant) —

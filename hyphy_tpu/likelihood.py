@@ -57,17 +57,38 @@ class LikelihoodFunction:
     per-partition prefix ``pK:``.
     """
 
-    def __init__(self, partitions: Sequence[Partition]):
+    def __init__(
+        self,
+        partitions: Sequence[Partition],
+        schedule_pad: Tuple[int, int] = (0, 0),
+        pattern_bucket: Optional[int] = None,
+    ):
+        """``schedule_pad=(min_depth, min_width)`` and ``pattern_bucket``
+        round the compiled shapes up (scratch levels / zero-weight pattern
+        rows) so many related problems — e.g. GARD's per-candidate NJ
+        topologies and partition splits — reuse one XLA compilation."""
         self.partitions = list(partitions)
         self._pruning_data = [
-            pruning.build_pruning_data(p.tree) for p in self.partitions
+            pruning.build_pruning_data(
+                p.tree, min_depth=schedule_pad[0], min_width=schedule_pad[1]
+            )
+            for p in self.partitions
         ]
-        self._leaf_partials = [
-            jnp.asarray(p.filter.leaf_partials()) for p in self.partitions
-        ]
-        self._weights = [
-            jnp.asarray(p.filter.pattern_weights) for p in self.partitions
-        ]
+        self._leaf_partials = []
+        self._weights = []
+        for p in self.partitions:
+            lp = p.filter.leaf_partials()
+            w = np.asarray(p.filter.pattern_weights, dtype=np.float64)
+            if pattern_bucket:
+                n = lp.shape[1]
+                n_pad = (n + pattern_bucket - 1) // pattern_bucket * pattern_bucket
+                if n_pad > n:
+                    # all-ones (gap) rows with zero weight: no lnL contribution
+                    pad = np.ones((lp.shape[0], n_pad - n, lp.shape[2]), lp.dtype)
+                    lp = np.concatenate([lp, pad], axis=1)
+                    w = np.concatenate([w, np.zeros(n_pad - n)])
+            self._leaf_partials.append(jnp.asarray(lp))
+            self._weights.append(jnp.asarray(w))
         # parameter index: shared globals by name, locals prefixed
         self.specs: Specs = {}
         self._key_maps: List[Dict[str, str]] = []
@@ -162,6 +183,92 @@ class LikelihoodFunction:
             n_iterations=int(n_iter),
             lf=self,
         )
+
+
+    # -- uncertainty --------------------------------------------------------
+
+    def covariance_matrix(
+        self, params: Params, keys: Optional[Sequence[str]] = None
+    ) -> Tuple[np.ndarray, List[str]]:
+        """Asymptotic MLE covariance = inverse observed information
+        (reference ``CovarianceMatrix``, ``likefunc.cpp:6535``, Hessian
+        mode).  The Hessian comes from JAX AD (the reference uses finite
+        differences).  Returns (cov [k,k], flattened key labels)."""
+        keys = list(keys or [k for k, s in self.specs.items()])
+        labels: List[str] = []
+        flat0 = []
+        for k in keys:
+            v = np.atleast_1d(np.asarray(params[k], dtype=np.float64))
+            for j in range(v.size):
+                labels.append(k if v.size == 1 else f"{k}[{j}]")
+            flat0.append(v.ravel())
+        x0 = jnp.asarray(np.concatenate(flat0))
+        shapes = [np.atleast_1d(np.asarray(params[k])).shape for k in keys]
+
+        def unflatten(x):
+            out = dict(params)
+            off = 0
+            for k, shp in zip(keys, shapes):
+                n = int(np.prod(shp))
+                val = x[off : off + n].reshape(shp)
+                out[k] = val if np.prod(shp) > 1 else val[0]
+                off += n
+            return out
+
+        hess = jax.hessian(lambda x: self.loglik(unflatten(x)))(x0)
+        info = -np.asarray(hess)
+        # pseudo-inverse guards boundary/flat directions (the reference
+        # clamps at parameter bounds instead)
+        cov = np.linalg.pinv(info)
+        return cov, labels
+
+    def profile_ci(
+        self,
+        params: Params,
+        key: str,
+        loglik_mle: float,
+        level: float = 0.95,
+        iters: int = 60,
+    ) -> Tuple[float, float]:
+        """Profile-likelihood CI for a scalar parameter with the others
+        FIXED at their MLEs (reference ``COVARIANCE_PRECISION`` < 1 path,
+        ``likefunc.cpp:6565``; full reoptimization per trial point is
+        replaced by the fixed-nuisance profile, which the per-site methods
+        use via ``parameters.GetProfileCI``)."""
+        from scipy.stats import chi2 as _c2
+
+        drop = float(_c2.ppf(level, 1)) / 2.0
+        spec = self.specs[key]
+        target = loglik_mle - drop
+        mle = float(np.asarray(params[key]))
+
+        def lnl_at(v: float) -> float:
+            p = dict(params)
+            p[key] = jnp.asarray(v)
+            return float(self.loglik(p))
+
+        def search(side: int) -> float:
+            bound = spec.upper if side > 0 else spec.lower
+            far = mle
+            for _ in range(40):
+                step = max(abs(far), 1e-3)
+                far = np.clip(far + side * step, spec.lower, spec.upper)
+                if lnl_at(far) < target or far == bound:
+                    break
+            if lnl_at(far) > target:
+                return float(far)  # CI hits the bound
+            near = mle
+            for _ in range(iters):
+                mid = 0.5 * (near + far)
+                if lnl_at(mid) > target:
+                    near = mid
+                else:
+                    far = mid
+                if abs(far - near) < 1e-10 * max(1.0, abs(mle)):
+                    break
+            return 0.5 * (near + far)
+
+        return search(-1), search(+1)
 
 
 @dataclasses.dataclass

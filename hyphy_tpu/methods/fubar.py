@@ -16,6 +16,7 @@ over an MPI queue, ``grid_compute.ibf:3-52``).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Optional
 
 import jax
@@ -76,8 +77,19 @@ def run(
     posterior: float = 0.9,
     precision: float = 1e-5,
     seed: int = 0,
+    cache: Optional[str] = None,
 ) -> FUBARResult:
+    """``cache``: path to a resumable checkpoint (reference fubar.cache,
+    FUBAR.bf:160-236) holding the grid and conditional likelihood vectors;
+    phases 1-2 are skipped when it exists and matches the settings."""
     data = common.load_codon_data(alignment, genetic_code, tree, branches)
+
+    cached = None
+    if cache is not None and os.path.exists(cache):
+        loaded = np.load(cache)
+        if int(loaded["grid_points"]) == grid_points:
+            cached = loaded
+
     gtr = common.fit_gtr(data, precision=precision)
 
     gc = data.genetic_code
@@ -114,18 +126,23 @@ def run(
 
         return (jax.vmap(one)(i),)
 
-    # pass 1: best overall scaling on the grid (FUBAR.bf:280-292)
-    (sll,) = sharded_site_solve(grid_site_logliks, {}, n_grid)
-    total = sll @ np.asarray(weights)
-    best = int(np.argmax(total))
-    a_hat, b_hat = grid[best]
-    # rebase branch scales at the best grid point: the per-branch synRate
-    # values at (a_hat, b_hat) become the new proportionality constants
-    c_rebased = float((a_hat * rate_syn + b_hat * rate_non) / (rate_syn + rate_non))
-    c_b = c_b * c_rebased
+    if cached is not None:
+        sll = np.asarray(cached["sll"])
+    else:
+        # pass 1: best overall scaling on the grid (FUBAR.bf:280-292)
+        (sll,) = sharded_site_solve(grid_site_logliks, {}, n_grid)
+        total = sll @ np.asarray(weights)
+        best = int(np.argmax(total))
+        a_hat, b_hat = grid[best]
+        # rebase branch scales at the best grid point: the per-branch synRate
+        # values at (a_hat, b_hat) become the new proportionality constants
+        c_rebased = float((a_hat * rate_syn + b_hat * rate_non) / (rate_syn + rate_non))
+        c_b = c_b * c_rebased
 
-    # pass 2: conditional site likelihood vectors on the rebased tree
-    (sll,) = sharded_site_solve(grid_site_logliks, {}, n_grid)
+        # pass 2: conditional site likelihood vectors on the rebased tree
+        (sll,) = sharded_site_solve(grid_site_logliks, {}, n_grid)
+        if cache is not None:
+            np.savez(cache, sll=np.asarray(sll), grid_points=grid_points)
 
     # expand patterns -> sites; normalize per site (ConvertToConditionals)
     sll_sites = sll[:, filt.duplicate_map]               # [G, sites]

@@ -137,6 +137,132 @@ class MG94Base(SubstitutionModel):
         q_syn, q_non = self.basis_matrices(params)
         return q_syn.sum(-1) @ self.frequencies, q_non.sum(-1) @ self.frequencies
 
+    # -- multiple instantaneous hits (MG_REV_MH.bf / MG_REV_TRIP.bf) --------
+
+    def _multihit_tables(self):
+        """Static index arrays for codon pairs differing at 2 or 3
+        positions: rate entry = prod(theta per changed position) *
+        prod(target-nuc position frequency) * (alpha|beta) * delta[*psi]
+        (``MG_REV_MH.bf:60-107``)."""
+        if getattr(self, "_mh_tables", None) is not None:
+            return self._mh_tables
+        sense = self.gc.sense_codons
+        n = len(sense)
+        out = {2: [], 3: []}
+        corner = self.corner_freqs
+        trans = self.gc.translation
+        for a in range(n):
+            ca = int(sense[a])
+            na = (ca // 16, (ca // 4) % 4, ca % 4)
+            for b in range(n):
+                if a == b:
+                    continue
+                cb = int(sense[b])
+                nb = (cb // 16, (cb // 4) % 4, cb % 4)
+                diff = [p for p in range(3) if na[p] != nb[p]]
+                d = len(diff)
+                if d < 2:
+                    continue
+                th = [6, 6, 6]  # index 6 = padding (theta == 1)
+                mult = 1.0
+                for k, p in enumerate(diff):
+                    x, y = _NUC[min(na[p], nb[p])], _NUC[max(na[p], nb[p])]
+                    th[k] = _PAIR_INDEX[x + y]
+                    mult *= corner[nb[p], p]
+                out[d].append((a, b, th, mult, trans[ca] == trans[cb]))
+        tables = {}
+        for d in (2, 3):
+            rows = out[d]
+            tables[d] = dict(
+                pair_i=jnp.asarray(np.array([r[0] for r in rows], dtype=np.int32)),
+                pair_j=jnp.asarray(np.array([r[1] for r in rows], dtype=np.int32)),
+                theta_idx=jnp.asarray(np.array([r[2] for r in rows], dtype=np.int32)),
+                multiplier=jnp.asarray(np.array([r[3] for r in rows])),
+                syn=jnp.asarray(np.array([float(r[4]) for r in rows])),
+            )
+        self._mh_tables = tables
+        return tables
+
+    def multihit_basis_matrices(self, params: Params, hits: int):
+        """(Q_syn, Q_nonsyn) for the 2- or 3-hit entry set (no diagonal)."""
+        tbl = self._multihit_tables()[hits]
+        theta7 = jnp.concatenate([self._theta_vector(params), jnp.ones(1)])
+        entries = (
+            jnp.prod(theta7[tbl["theta_idx"]], axis=1) * tbl["multiplier"]
+        )
+        s = self.n_states
+        zeros = jnp.zeros((s, s), dtype=entries.dtype)
+        q_syn = zeros.at[tbl["pair_i"], tbl["pair_j"]].set(entries * tbl["syn"])
+        q_non = zeros.at[tbl["pair_i"], tbl["pair_j"]].set(
+            entries * (1.0 - tbl["syn"])
+        )
+        return q_syn, q_non
+
+
+class MG94xREVMultiHit(MG94Base):
+    """MG94xREV with double- (delta) and optionally triple-hit (psi)
+    instantaneous substitutions (reference: ``models/codon/MG_REV_MH.bf``,
+    ``MG_REV_TRIP.bf``; used by FitMultiModel and the --multiple-hits
+    options of FEL/MEME/BUSTED/aBSREL).
+
+    Q = alpha_b*(Q1s + d*Q2s + p*Q3s) + beta_b*(Q1n + d*Q2n + p*Q3n),
+    beta_b = alpha_b * omega_{group(b)}; delta/psi are global rates.
+    """
+
+    def __init__(
+        self,
+        gc: GeneticCode,
+        corner_freqs: np.ndarray,
+        codon_freqs: np.ndarray,
+        branch_groups: np.ndarray,
+        n_groups: int,
+        triple: bool = False,
+    ):
+        super().__init__(gc, corner_freqs, codon_freqs)
+        self.branch_groups = jnp.asarray(np.asarray(branch_groups, dtype=np.int32))
+        self.n_groups = n_groups
+        self.triple = triple
+
+    def parameter_specs(self, n_branches: int) -> Specs:
+        specs = self.theta_specs()
+        specs["omega"] = ParamSpec(init=0.25, lower=0.0, upper=10000.0, shape=(self.n_groups,))
+        specs["alpha"] = ParamSpec(init=0.15, lower=0.0, upper=10000.0, shape=(n_branches,))
+        # reference rate bounds: delta/psi in [0, 100] (MG_REV_MH.bf)
+        specs["delta"] = ParamSpec(init=0.05, lower=0.0, upper=100.0)
+        if self.triple:
+            specs["psi"] = ParamSpec(init=0.05, lower=0.0, upper=100.0)
+        return specs
+
+    def _combined_bases(self, params: Params):
+        q1s, q1n = self.basis_matrices(params)
+        q2s, q2n = self.multihit_basis_matrices(params, 2)
+        qs = q1s + params["delta"] * q2s
+        qn = q1n + params["delta"] * q2n
+        if self.triple:
+            q3s, q3n = self.multihit_basis_matrices(params, 3)
+            qs = qs + params["psi"] * q3s
+            qn = qn + params["psi"] * q3n
+        return qs, qn
+
+    def build(self, params: Params, n_branches: int) -> ModelOutput:
+        qs, qn = self._combined_bases(params)
+        m = fill_diagonal_from_rows(
+            qs[None] + params["omega"][:, None, None] * qn[None]
+        )
+        left, lam, right = expm_ops.reversible_spectral(m, self.frequencies)
+        g = self.branch_groups
+        p = expm_ops.spectral_propagators(
+            left[g], lam[g], right[g], params["alpha"]
+        )
+        return ModelOutput(p_matrices=p, root_freqs=self.frequencies)
+
+    def branch_lengths(self, params: Params) -> jnp.ndarray:
+        qs, qn = self._combined_bases(params)
+        rs = qs.sum(-1) @ self.frequencies
+        rn = qn.sum(-1) @ self.frequencies
+        beta = params["alpha"] * params["omega"][self.branch_groups]
+        return (params["alpha"] * rs + beta * rn) / 3.0
+
 
 class MG94xREV(MG94Base):
     """'Global' model type: one omega, per-branch time t

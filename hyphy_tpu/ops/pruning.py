@@ -39,8 +39,8 @@ class PruningData(NamedTuple):
     arity: int
 
 
-def build_pruning_data(tree: Tree) -> PruningData:
-    sched = LevelSchedule.build(tree)
+def build_pruning_data(tree: Tree, min_depth: int = 0, min_width: int = 0) -> PruningData:
+    sched = LevelSchedule.build(tree, min_depth=min_depth, min_width=min_width)
     return PruningData(
         node_ids=jnp.asarray(sched.node_ids),
         child_ids=jnp.asarray(sched.child_ids),

@@ -197,10 +197,14 @@ class LevelSchedule:
     arity: int
 
     @staticmethod
-    def build(tree: Tree) -> "LevelSchedule":
+    def build(tree: Tree, min_depth: int = 0, min_width: int = 0) -> "LevelSchedule":
+        """``min_depth``/``min_width`` pad the schedule to at least those
+        shapes (all-scratch levels/slots contribute multiplicative 1) so
+        different topologies over the same taxa share one compiled shape
+        (shape bucketing for GARD's per-candidate NJ trees)."""
         levels = tree.levels()
-        depth = len(levels)
-        max_nodes = max(len(lv) for lv in levels)
+        depth = max(len(levels), min_depth)
+        max_nodes = max(max(len(lv) for lv in levels), min_width)
         arity = max(len(tree.children[nd]) for nd in range(tree.n_leaves, tree.n_nodes))
         scratch = tree.n_nodes
         # padded node slots scatter into per-slot scratch rows (unique
