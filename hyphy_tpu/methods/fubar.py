@@ -84,16 +84,31 @@ def run(
     phases 1-2 are skipped when it exists and matches the settings."""
     data = common.load_codon_data(alignment, genetic_code, tree, branches)
 
+    gc = data.genetic_code
+    filt = data.codon_filter
+
+    # np.savez always appends '.npz'; normalize once so the resume check
+    # and the save agree on the same path
+    if cache is not None and not cache.endswith(".npz"):
+        cache = cache + ".npz"
+    # dataset fingerprint: a checkpoint from a different alignment / tree /
+    # branch set must not be silently accepted (reference FUBAR.bf:160-236
+    # stores settings in the cache and re-validates them)
+    fingerprint = "|".join([
+        os.path.basename(alignment), str(filt.n_patterns),
+        str(data.tree.n_leaves), branches, genetic_code,
+    ])
     cached = None
     if cache is not None and os.path.exists(cache):
         loaded = np.load(cache)
-        if int(loaded["grid_points"]) == grid_points:
+        if (
+            int(loaded["grid_points"]) == grid_points
+            and "fingerprint" in loaded.files
+            and str(loaded["fingerprint"]) == fingerprint
+        ):
             cached = loaded
 
     gtr = common.fit_gtr(data, precision=precision)
-
-    gc = data.genetic_code
-    filt = data.codon_filter
     corners, codon_freqs = freq_mod.cf3x4(filt, gc)
     model = MG94Base(gc, corners, codon_freqs)
     theta = {k: jnp.asarray(v) for k, v in gtr.params.items() if k.startswith("theta")}
@@ -142,7 +157,10 @@ def run(
         # pass 2: conditional site likelihood vectors on the rebased tree
         (sll,) = sharded_site_solve(grid_site_logliks, {}, n_grid)
         if cache is not None:
-            np.savez(cache, sll=np.asarray(sll), grid_points=grid_points)
+            np.savez(
+                cache, sll=np.asarray(sll), grid_points=grid_points,
+                fingerprint=fingerprint,
+            )
 
     # expand patterns -> sites; normalize per site (ConvertToConditionals)
     sll_sites = sll[:, filt.duplicate_map]               # [G, sites]

@@ -60,7 +60,9 @@ def tn93_distance(filt: DataFilter) -> np.ndarray:
             ok = (state[i] >= 0) & (state[j] >= 0)
             tot = ok.sum()
             if tot == 0:
-                d[i, j] = d[j, i] = 1.0
+                # zero-overlap pairs get the saturation distance, matching
+                # the native kernel (datapath.cpp tn93_distances)
+                d[i, j] = d[j, i] = 5.0
                 continue
             si, sj = state[i][ok], state[j][ok]
             freqs = np.bincount(np.concatenate([si, sj]), minlength=4) / (2 * tot)

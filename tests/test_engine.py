@@ -142,6 +142,82 @@ class TestPruning:
         np.testing.assert_allclose(np.asarray(mixed), np.asarray(single), rtol=1e-12)
 
 
+class TestUncertainty:
+    """covariance_matrix / profile_ci (reference CovarianceMatrix,
+    likefunc.cpp:6535: Hessian mode and profile-likelihood mode)."""
+
+    @pytest.fixture(scope="class")
+    def small_fit(self):
+        aln = Alignment(
+            ["A", "B", "C"], ["ACGTTACGGT" * 4, "ACGTAACGGT" * 4, "AAGTAACGCT" * 4]
+        )
+        filt = DataFilter.from_alignment(aln, "nucleotide")
+        tree = Tree.from_newick("((A:0.1,B:0.2):0.05,C:0.3)", leaf_order=filt.names)
+        lf = LikelihoodFunction([Partition(filt, tree, JC69())])
+        return lf, lf.fit()
+
+    def test_covariance_matrix(self, small_fit):
+        lf, res = small_fit
+        cov, labels = lf.covariance_matrix(res.params)
+        n = len(labels)
+        assert cov.shape == (n, n)
+        assert n == lf.partitions[0].tree.n_branches
+        # symmetric PSD-ish; interior-MLE branch variances are positive
+        np.testing.assert_allclose(cov, cov.T, atol=1e-10)
+        t_hat = np.asarray(res.params["t"])
+        for j in range(n):
+            if t_hat[j] > 1e-4:  # interior of the bound
+                assert cov[j, j] > 0
+
+    def test_profile_ci_brackets_mle(self, small_fit):
+        lf, res = small_fit
+        # profile the first branch length (an interior MLE)
+        t_hat = float(np.asarray(res.params["t"])[0])
+        params = dict(res.params)
+        # scalarize: profile_ci works on scalar keys, so expose t[0] as one
+        lo, hi = lf.profile_ci(params, "t", res.loglik) if np.ndim(
+            params["t"]
+        ) == 0 else _vector_profile_ci(lf, params, "t", 0, res.loglik)
+        assert lo <= t_hat <= hi
+        assert hi > lo
+
+
+def _vector_profile_ci(lf, params, key, index, lnl_mle, level=0.95):
+    """Profile CI for one component of a vector parameter by wrapping the
+    LF objective (same bisection scheme as LikelihoodFunction.profile_ci)."""
+    from scipy.stats import chi2 as _c2
+
+    spec = lf.specs[key]
+    drop = float(_c2.ppf(level, 1)) / 2.0
+    target = lnl_mle - drop
+    mle = float(np.asarray(params[key])[index])
+
+    def lnl_at(v):
+        p = dict(params)
+        p[key] = jnp.asarray(np.asarray(params[key]).copy()).at[index].set(v)
+        return float(lf.loglik(p))
+
+    def search(side):
+        bound = spec.upper if side > 0 else spec.lower
+        far = mle
+        for _ in range(40):
+            far = float(np.clip(far + side * max(abs(far), 1e-3), spec.lower, spec.upper))
+            if lnl_at(far) < target or far == bound:
+                break
+        if lnl_at(far) > target:
+            return far
+        near = mle
+        for _ in range(60):
+            mid = 0.5 * (near + far)
+            if lnl_at(mid) > target:
+                near = mid
+            else:
+                far = mid
+        return 0.5 * (near + far)
+
+    return search(-1), search(+1)
+
+
 class TestFit:
     def test_gtr_fit_cd2_improves(self, cd2_path):
         aln = read_alignment(cd2_path)

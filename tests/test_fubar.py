@@ -42,3 +42,26 @@ class TestFUBARGoldens:
 
     def test_posterior_weights_normalized(self, fubar_result):
         assert fubar_result.posterior_weights.sum() == pytest.approx(1.0, abs=1e-8)
+
+
+class TestFUBARCache:
+    def test_cache_roundtrip_and_fingerprint(self, cd2_path, tmp_path):
+        """Resume (FUBAR.bf:160-236): the checkpoint written on run 1 must be
+        found and reused on run 2 even when the user path lacks '.npz'."""
+        cache = str(tmp_path / "fubar.cache")
+        r1 = fubar.run(cd2_path, grid_points=5, cache=cache)
+        import os
+
+        assert os.path.exists(cache + ".npz")  # normalized save path
+        saved = np.load(cache + ".npz")
+        assert "fingerprint" in saved.files
+        # poison the cached site log-likelihoods: if run 2 resumes (it must),
+        # its posterior comes out of the poisoned grid, not a recompute
+        poisoned = dict(sll=saved["sll"] * 0.5, grid_points=saved["grid_points"],
+                        fingerprint=saved["fingerprint"])
+        np.savez(cache + ".npz", **poisoned)
+        r2 = fubar.run(cd2_path, grid_points=5, cache=cache)
+        assert not np.allclose(r2.posterior_weights, r1.posterior_weights)
+        # mismatched grid size must ignore the cache, not crash
+        r3 = fubar.run(cd2_path, grid_points=6, cache=cache)
+        assert r3.grid.shape[0] == 36

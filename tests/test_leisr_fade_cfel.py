@@ -50,8 +50,9 @@ class TestFADE:
         g = fade.define_grid(20)
         assert g.shape == (400, 2)
         assert (g[0] == 0).all()
-        # a full bias==0 column exists (the no-bias cells)
-        assert (g[:, 1] == 0).sum() == 20
+        # a full bias==0 column exists (the no-bias cells) plus the
+        # reference's extra grid[1][1]=0 cell (FADE.bf:935-936): 21 total
+        assert (g[:, 1] == 0).sum() == 21
 
     def test_directional_detection(self):
         from hyphy_tpu.methods import fade
