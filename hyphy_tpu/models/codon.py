@@ -78,17 +78,24 @@ class MG94Base(SubstitutionModel):
         }
 
     def _theta_vector(self, params: Params) -> jnp.ndarray:
+        dtype = params["theta_AC"].dtype
+        one = jnp.ones((), dtype=dtype)
         return jnp.stack(
-            [jnp.ones(()) if p == "AG" else params[f"theta_{p}"] for p in GTR_RATES]
+            [one if p == "AG" else params[f"theta_{p}"] for p in GTR_RATES]
         )
 
     def basis_matrices(self, params: Params):
-        """(Q_syn, Q_nonsyn) [S,S] with zero diagonals."""
-        entries = self._theta_vector(params)[self._theta_idx] * self._multiplier
+        """(Q_syn, Q_nonsyn) [S,S] with zero diagonals.  Computed in the
+        parameter dtype so fp32 TPU evaluations don't silently upcast the
+        whole Q/expm pipeline to fp64 (x64 is globally enabled for parity)."""
+        theta = self._theta_vector(params)
+        dtype = theta.dtype
+        entries = theta[self._theta_idx] * self._multiplier.astype(dtype)
         s = self.n_states
-        zeros = jnp.zeros((s, s), dtype=entries.dtype)
-        q_syn = zeros.at[self._pair_i, self._pair_j].set(entries * self._syn)
-        q_non = zeros.at[self._pair_i, self._pair_j].set(entries * (1.0 - self._syn))
+        zeros = jnp.zeros((s, s), dtype=dtype)
+        syn = self._syn.astype(dtype)
+        q_syn = zeros.at[self._pair_i, self._pair_j].set(entries * syn)
+        q_non = zeros.at[self._pair_i, self._pair_j].set(entries * (1.0 - syn))
         return q_syn, q_non
 
     def propagators_grouped(
@@ -99,16 +106,53 @@ class MG94Base(SubstitutionModel):
         group_of_branch: jnp.ndarray,  # [B] int32 in [0, G)
     ) -> jnp.ndarray:
         """P_b = expm(alpha_b * (Q_syn + r_{g(b)} * Q_nonsyn)) — G
-        eigendecompositions shared by all branches."""
+        eigendecompositions shared by all branches.
+
+        The group assignment is static (a concrete array), so branches are
+        partitioned per group at trace time and each group's propagators use
+        *shared* spectral factors (a broadcasted matmul) instead of gathering
+        per-branch [S,S] factor copies — the gather costs ~3x the result
+        itself in HBM traffic on large trees."""
         q_syn, q_non = self.basis_matrices(params)
         m = fill_diagonal_from_rows(
             q_syn[None] + ratio_groups[:, None, None] * q_non[None]
         )  # [G,S,S]
-        left, lam, right = expm_ops.reversible_spectral(m, self.frequencies)
-        return expm_ops.spectral_propagators(
-            left[group_of_branch], lam[group_of_branch], right[group_of_branch],
-            alpha_b,
-        )
+        # fp64 (CPU parity path): one eigh per group, shared-factor matmuls.
+        # fp32 (TPU perf path): shared-power Taylor — TPU fp32 eigh loses
+        # ~1e-2 absolute accuracy on 61-state generators.
+        use_spectral = m.dtype == jnp.float64
+        if use_spectral:
+            left, lam, right = expm_ops.reversible_spectral(m, self.frequencies)
+
+        def group_propagators(g, times):
+            if use_spectral:
+                return expm_ops.spectral_propagators(
+                    left[g], lam[g], right[g], times
+                )
+            return expm_ops.shared_taylor_propagators(m[g], times)
+
+        try:
+            groups = np.asarray(group_of_branch)
+        except jax.errors.TracerArrayConversionError:
+            if not use_spectral:
+                left, lam, right = expm_ops.reversible_spectral(m, self.frequencies)
+            return expm_ops.spectral_propagators(
+                left[group_of_branch], lam[group_of_branch],
+                right[group_of_branch], alpha_b,
+            )
+        n_groups = int(ratio_groups.shape[0])
+        if n_groups == 1:
+            return group_propagators(0, alpha_b)
+        parts = []
+        order = []
+        for g in range(n_groups):
+            idx = np.nonzero(groups == g)[0]
+            if idx.size == 0:
+                continue
+            order.append(idx)
+            parts.append(group_propagators(g, alpha_b[jnp.asarray(idx)]))
+        perm = np.argsort(np.concatenate(order), kind="stable").astype(np.int32)
+        return jnp.concatenate(parts, axis=0)[jnp.asarray(perm)]
 
     def propagators_local(
         self, params: Params, alpha_b: jnp.ndarray, beta_b: jnp.ndarray
@@ -279,7 +323,7 @@ class MG94xREV(MG94Base):
             params,
             params["t"],
             params["omega"][None],
-            jnp.zeros(n_branches, dtype=jnp.int32),
+            np.zeros(n_branches, dtype=np.int32),
         )
         return ModelOutput(p_matrices=p, root_freqs=self.frequencies)
 

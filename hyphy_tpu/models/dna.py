@@ -81,12 +81,11 @@ class GTR(NucleotideREV):
                 for p in self.free_rates}
 
     def _rate_multipliers(self, params: Params) -> jnp.ndarray:
+        free = [params[f"theta_{p}"] for p in GTR_RATES if p != "AG"]
+        one = jnp.ones((), dtype=free[0].dtype) if free else jnp.ones(())
         vals = []
         for pair in GTR_RATES:
-            if pair == "AG":
-                vals.append(jnp.ones(()))
-            else:
-                vals.append(params[f"theta_{pair}"])
+            vals.append(one if pair == "AG" else params[f"theta_{pair}"])
         return jnp.stack(vals)
 
 

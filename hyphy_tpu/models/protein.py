@@ -120,13 +120,11 @@ class ProteinREV(SubstitutionModel):
         return specs
 
     def q_matrix(self, params: Params) -> jnp.ndarray:
-        vals = []
-        for p in self._pairs:
-            if p == self.PINNED:
-                vals.append(jnp.ones(()))
-            else:
-                vals.append(params[f"r_{p}"])
-        vals = jnp.stack(vals)
+        free = [params[f"r_{p}"] for p in self._pairs if p != self.PINNED]
+        one = jnp.ones((), dtype=free[0].dtype) if free else jnp.ones(())
+        vals = jnp.stack(
+            [one if p == self.PINNED else params[f"r_{p}"] for p in self._pairs]
+        )
         ii = jnp.asarray([AMINO_ACIDS.index(p[0]) for p in self._pairs])
         jj = jnp.asarray([AMINO_ACIDS.index(p[1]) for p in self._pairs])
         q = jnp.zeros((20, 20), dtype=vals.dtype)

@@ -80,6 +80,67 @@ def transition_matrix(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return row_renormalize(expm(q * t[..., None, None]))
 
 
+def shared_taylor_propagators(
+    q: jnp.ndarray,              # [S, S] one shared generator
+    t: jnp.ndarray,              # [B] per-branch times
+    terms: int = 22,
+    max_squarings: int = 5,
+) -> jnp.ndarray:
+    """P(t_b) = expm(q * t_b) for ONE generator and MANY times.
+
+    The expensive objects — powers q^k — are shared by every branch: K
+    matmuls of a single SxS matrix.  Each branch then sums the series with
+    per-branch coefficients (one small [B,K]x[K,S^2] contraction) and runs a
+    masked squaring ladder.  Unlike the TPU fp32 ``eigh`` path (which loses
+    ~1e-2 absolute accuracy on 61-state codon generators), this stays at
+    fp32 round-off, so it is the fp32/TPU route for grouped propagators;
+    reference semantics follow ``_Matrix::Exponentiate``
+    (``src/core/matrix.cpp:5537``: scale / Taylor / square / renormalize).
+    """
+    dtype = q.dtype
+    s_dim = q.shape[-1]
+    # normalize the generator to unit inf-norm; fold the factor into t
+    norm = jnp.maximum(jnp.max(jnp.sum(jnp.abs(q), axis=-1)), 1e-30)
+    m = jnp.ceil(jnp.log2(norm))
+    qn = q * jnp.exp2(-m).astype(dtype)
+    t_eff = t * jnp.exp2(m).astype(dtype)
+    # per-branch squarings so the series argument is <= 2 (22 terms leave a
+    # 2^23/23! ~ 3e-16 tail; e^2 cancellation amplification ~7x fp32 eps)
+    sq = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(t_eff, 1e-30))) - 1.0, 0, max_squarings
+    )
+    ts = t_eff * jnp.exp2(-sq).astype(dtype)   # [B], <= 2 when not clipped
+
+    eye = jnp.eye(s_dim, dtype=dtype)
+
+    def next_pow(p, _):
+        p = p @ qn
+        return p, p
+
+    _, pows = jax.lax.scan(next_pow, eye, None, length=terms)
+    pows = jnp.concatenate([eye[None], pows], axis=0)      # [K+1, S, S]
+
+    # coef[b, k] = ts_b^k / k! via a stable running product
+    ks = jnp.arange(1, terms + 1, dtype=dtype)
+    ratios = ts[:, None] / ks[None, :]                     # [B, K]
+    coef = jnp.cumprod(ratios, axis=1)
+    coef = jnp.concatenate([jnp.ones((t.shape[0], 1), dtype=dtype), coef], axis=1)
+
+    p = jnp.einsum(
+        "bk,kij->bij", coef, pows, preferred_element_type=dtype
+    )
+
+    def square(p, k):
+        need = (k < sq)[:, None, None]
+        return jnp.where(need, p @ p, p), None
+
+    p, _ = jax.lax.scan(
+        square, p, jnp.arange(max_squarings, dtype=sq.dtype)
+    )
+    p = jnp.maximum(p, 0.0)
+    return row_renormalize(p)
+
+
 # ---------------------------------------------------------------------------
 # reversible fast path
 
@@ -94,7 +155,7 @@ def reversible_spectral(q: jnp.ndarray, pi: jnp.ndarray):
     Zero-frequency states are guarded with a floor so absent states stay
     inert rather than producing NaNs.
     """
-    pi_safe = jnp.maximum(pi, 1e-300)
+    pi_safe = jnp.maximum(pi.astype(q.dtype), jnp.finfo(q.dtype).tiny)
     sqrt_pi = jnp.sqrt(pi_safe)
     b = q * (sqrt_pi[..., :, None] / sqrt_pi[..., None, :])
     b = 0.5 * (b + jnp.swapaxes(b, -1, -2))  # kill asymmetric round-off

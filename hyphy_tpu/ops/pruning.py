@@ -37,10 +37,34 @@ class PruningData(NamedTuple):
     n_leaves: int
     max_width: int
     arity: int
+    # exact-width unrolled schedule (None when shape-bucketing is requested):
+    # tuple of (storage_offset, child_storage [W,K], child_branch [W,K]) per
+    # level, with internal-node CLVs stored level-contiguously so each level
+    # writes one static slice instead of scattering into the full buffer.
+    ulevels: tuple = None
 
 
 def build_pruning_data(tree: Tree, min_depth: int = 0, min_width: int = 0) -> PruningData:
     sched = LevelSchedule.build(tree, min_depth=min_depth, min_width=min_width)
+    ulevels = None
+    if min_depth == 0 and min_width == 0:
+        n_nodes, n_leaves = tree.n_nodes, tree.n_leaves
+        storage = np.full(n_nodes + 1, n_nodes, dtype=np.int64)
+        storage[:n_leaves] = np.arange(n_leaves)
+        next_slot = n_leaves
+        levels = []
+        for lv in tree.levels():
+            w = len(lv)
+            storage[lv] = next_slot + np.arange(w)
+            child_storage = np.full((w, sched.arity), n_nodes, dtype=np.int32)
+            child_branch = np.full((w, sched.arity), n_nodes, dtype=np.int32)
+            for slot, nd in enumerate(lv):
+                for k, c in enumerate(tree.children[nd]):
+                    child_storage[slot, k] = storage[c]
+                    child_branch[slot, k] = c
+            levels.append((next_slot, child_storage, child_branch))
+            next_slot += w
+        ulevels = tuple(levels)
     return PruningData(
         node_ids=jnp.asarray(sched.node_ids),
         child_ids=jnp.asarray(sched.child_ids),
@@ -48,6 +72,7 @@ def build_pruning_data(tree: Tree, min_depth: int = 0, min_width: int = 0) -> Pr
         n_leaves=sched.n_leaves,
         max_width=sched.node_ids.shape[1],
         arity=sched.arity,
+        ulevels=ulevels,
     )
 
 
@@ -73,6 +98,11 @@ def site_log_likelihoods(
         p_all = jnp.concatenate([p_matrices.astype(dtype), pad], axis=0)
     else:
         p_all = p_matrices.astype(dtype).at[n_nodes].set(eye)
+
+    if data.ulevels is not None:
+        return _site_log_likelihoods_unrolled(
+            p_all, leaf_partials, root_freqs, data
+        )
 
     clv = jnp.ones((n_nodes + 1 + data.max_width, patterns, states), dtype=dtype)
     clv = clv.at[: data.n_leaves].set(leaf_partials)
@@ -102,6 +132,52 @@ def site_log_likelihoods(
         (data.node_ids, data.child_ids),
     )
     root_like = clv[n_nodes - 1] @ root_freqs.astype(dtype)  # [patterns]
+    root_like = jnp.maximum(root_like, jnp.finfo(dtype).tiny)
+    return jnp.log(root_like) + log_scale
+
+
+def _site_log_likelihoods_unrolled(
+    p_all: jnp.ndarray,          # [n_nodes+1, S, S], identity at scratch row
+    leaf_partials: jnp.ndarray,  # [n_leaves, patterns, S]
+    root_freqs: jnp.ndarray,
+    data: PruningData,
+) -> jnp.ndarray:
+    """Exact-width per-level pruning (no scan padding).
+
+    Each level is its own batched einsum over exactly the level's nodes, and
+    internal CLVs are stored level-contiguously so writes are static slices
+    (XLA updates the buffer in place) instead of full-buffer scatters — on a
+    1000-taxon tree the padded-scan variant moves ~8x more HBM bytes than
+    the CLVs it actually produces.
+    """
+    n_nodes = data.n_nodes
+    patterns, states = leaf_partials.shape[1], leaf_partials.shape[2]
+    dtype = leaf_partials.dtype
+
+    buf = jnp.concatenate(
+        [
+            leaf_partials,
+            jnp.ones((n_nodes + 1 - data.n_leaves, patterns, states), dtype=dtype),
+        ],
+        axis=0,
+    )
+    log_scale = jnp.zeros((patterns,), dtype=dtype)
+
+    for offset, child_storage, child_branch in data.ulevels:
+        w, k = child_storage.shape
+        cc = buf[child_storage.reshape(-1)]            # [W*K, patterns, S]
+        cp = p_all[child_branch.reshape(-1)]           # [W*K, S, S]
+        contrib = jnp.einsum(
+            "bij,bpj->bpi", cp, cc, preferred_element_type=dtype
+        ).reshape(w, k, patterns, states)
+        prod = jnp.prod(contrib, axis=1)               # [W, patterns, S]
+        mx = jnp.max(prod, axis=-1, keepdims=True)
+        mx = jnp.where(mx > 0, mx, 1.0)
+        prod = prod / mx
+        log_scale = log_scale + jnp.sum(jnp.log(mx[..., 0]), axis=0)
+        buf = jax.lax.dynamic_update_slice(buf, prod, (offset, 0, 0))
+
+    root_like = buf[n_nodes - 1] @ root_freqs.astype(dtype)
     root_like = jnp.maximum(root_like, jnp.finfo(dtype).tiny)
     return jnp.log(root_like) + log_scale
 
