@@ -63,6 +63,37 @@ def available() -> bool:
     return _load() is not None
 
 
+_extra_libs: dict = {}
+
+
+def load_library(name: str) -> Optional[ctypes.CDLL]:
+    """Build (if stale) and load ``native/<name>.cpp`` -> ``lib<name>.so``.
+    Returns None when the toolchain is unavailable; callers fall back to
+    their NumPy mirrors."""
+    if name in _extra_libs:
+        return _extra_libs[name]
+    with _lock:
+        if name in _extra_libs:
+            return _extra_libs[name]
+        src = os.path.join(_DIR, f"{name}.cpp")
+        out = os.path.join(_DIR, f"lib{name}.so")
+        lib = None
+        try:
+            if (not os.path.exists(out)) or (
+                os.path.getmtime(out) < os.path.getmtime(src)
+            ):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-o", out, src],
+                    check=True, capture_output=True, timeout=180,
+                )
+            lib = ctypes.CDLL(out)
+        except Exception:
+            lib = None
+        _extra_libs[name] = lib
+        return lib
+
+
 def tn93_distances(states: np.ndarray, saturation: float = 5.0) -> Optional[np.ndarray]:
     """[taxa, taxa] TN93 distances from [taxa, sites] int8 states
     (0..3 = ACGT, negative = unresolved); None if the native lib is

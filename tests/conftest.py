@@ -34,3 +34,18 @@ def data_path(name: str) -> str:
 @pytest.fixture(scope="session")
 def cd2_path() -> str:
     return data_path("CD2.nex")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _release_compiled_executables():
+    """Free jit caches between test modules.
+
+    Every compiled XLA CPU executable keeps JIT code pages mmap'd; a full
+    suite run accumulates enough mappings to exhaust the kernel's default
+    vm.max_map_count (~65k), at which point the next compilation segfaults
+    inside XLA.  Dropping the caches per module keeps the map count
+    bounded (module-scope fixtures recompile what they need)."""
+    yield
+    import jax
+
+    jax.clear_caches()
