@@ -107,6 +107,20 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["Variational-Bayes", "Collapsed-Gibbs", "Metropolis-Hastings"])
     p.add_argument("--concentration_parameter", type=float, default=0.5)
 
+    p = sub.add_parser("bgm", help="Bayesian Graphical Model detection of co-evolving sites")
+    common_args(p)
+    p.add_argument("--branches", default="All")
+    p.add_argument("--steps", type=int, default=100000)
+    p.add_argument("--burn-in", dest="burnin", type=int, default=10000)
+    p.add_argument("--samples", type=int, default=100)
+    p.add_argument("--max-parents", dest="max_parents", type=int, default=1)
+    p.add_argument("--min-subs", dest="min_subs", type=int, default=1)
+
+    p = sub.add_parser("prime", help="PRoperty Informed Model of Evolution (per-site property LRTs)")
+    common_args(p)
+    p.add_argument("--branches", default="All")
+    p.add_argument("--pvalue", type=float, default=0.1)
+
     return parser
 
 
@@ -183,6 +197,21 @@ def main(argv=None) -> int:
                          branches=args.branches, grid_points=args.grid,
                          method=args.posterior_method,
                          concentration=args.concentration_parameter)
+    elif method == "bgm":
+        from hyphy_tpu.methods import bgm as mod
+
+        class _Wrap:
+            pass
+        result = _Wrap()
+        result.json = mod.run(args.alignment, tree, args.code, args.branches,
+                              steps=args.steps, burnin=args.burnin,
+                              samples=args.samples,
+                              max_parents=args.max_parents,
+                              min_subs=args.min_subs)
+    elif method == "prime":
+        from hyphy_tpu.methods import prime as mod
+        result = mod.run(args.alignment, args.code, tree, args.branches,
+                         pvalue=args.pvalue)
     else:  # pragma: no cover
         raise SystemExit(f"unknown method {method}")
 

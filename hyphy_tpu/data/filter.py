@@ -175,16 +175,31 @@ class DataFilter:
         sense = gc.sense_codons
         s0, s1, s2 = sense // 16, (sense // 4) % 4, sense % 4
         table = np.zeros((len(code_values), gc.n_states))
+        excluded_code = np.zeros(len(code_values), dtype=bool)
         for row, key in enumerate(code_values):
             k0, k1, k2 = (int(key) >> 8) & 15, (int(key) >> 4) & 15, int(key) & 15
             vec = (
                 ((k0 >> s0) & 1) * ((k1 >> s1) & 1) * ((k2 >> s2) & 1)
             ).astype(np.float64)
             if vec.sum() == 0:
-                # unambiguous stop codon (excluded state): treat as missing,
-                # as the reference does for excluded states
+                # resolves only to excluded (stop) states; columns containing
+                # such codons are removed below
+                excluded_code[row] = True
                 vec = np.ones(gc.n_states)
             table[row] = vec
+        # reference semantics: a site pattern where any sequence carries an
+        # unambiguously-excluded state is omitted entirely
+        # (_DataSetFilter::FilterDeletions, dataset_filter.cpp:594-712)
+        bad_cols = excluded_code[leaf_codes].any(axis=0)
+        if bad_cols.any():
+            warnings.warn(
+                f"codon filter: omitting {int(bad_cols.sum())} site(s) "
+                "containing stop codons (reference: FilterDeletions)"
+            )
+            leaf_codes = leaf_codes[:, ~bad_cols]
+            masks = masks.reshape(masks.shape[0], n_units, 3)[
+                :, ~bad_cols, :
+            ].reshape(masks.shape[0], -1)
         filt = DataFilter(
             names=names, n_states=gc.n_states, datatype="codon",
             leaf_codes=leaf_codes, resolution_table=table,

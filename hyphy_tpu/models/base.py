@@ -73,8 +73,17 @@ class SubstitutionModel:
 
     # helper shared by reversible models
     def _propagate(self, q, pi, t):
-        """P(t_b) for all branches from one Q (spectral fast path), or the
-        general expm when the model is not reversible."""
+        """P(t_b) for all branches from one Q.
+
+        Small-state models (nucleotide 4x4, amino-acid 20x20) use the
+        shared-power Taylor propagator: the eigendecomposition path's AD
+        rule divides by eigenvalue gaps, so any symmetric-spectrum point
+        (JC69 always; HKY85 at kappa=1, i.e. the default starting point)
+        yields NaN gradients and silently kills the fit.  Codon models
+        (61x61, where the Taylor ladder is ~30x more expensive) keep the
+        spectral route via their own propagator entry points."""
+        if q.shape[-1] <= 20:
+            return expm_ops.shared_taylor_propagators(q, t)
         if self.reversible:
             left, lam, right = expm_ops.reversible_spectral(q, pi)
             return expm_ops.spectral_propagators(left, lam, right, t)

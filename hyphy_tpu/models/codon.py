@@ -47,8 +47,32 @@ class MG94Base(SubstitutionModel):
     datatype = "codon"
     reversible = True
 
-    def __init__(self, gc: GeneticCode, corner_freqs: np.ndarray, codon_freqs: np.ndarray):
+    def __init__(
+        self,
+        gc: GeneticCode,
+        corner_freqs: np.ndarray,
+        codon_freqs: np.ndarray,
+        theta_classes: Optional[str] = None,
+    ):
+        """``theta_classes``: optional 6-digit class string over the pairs
+        AC,AG,AT,CG,CT,GT — pairs sharing a digit share one exchangeability,
+        and AG's class is the reference (:= 1).  This is the reference's
+        custom-nucleotide-model crossing (e.g. MG94x"012232",
+        ``TemplateModels/MG94custom.mdl``; fixture
+        ``tests/hbltests/SimpleOptimizations/SmallCodon.bf:47-52`` frees
+        AC/AT/CT with CG:=AT, GT:=AT).  None = full REV (5 free thetas)."""
         self.gc = gc
+        self.theta_classes = theta_classes
+        if theta_classes is not None:
+            if len(theta_classes) != 6:
+                raise ValueError("theta_classes must have 6 digits")
+            ag_class = theta_classes[GTR_RATES.index("AG")]
+            rep = {}
+            for pair, digit in zip(GTR_RATES, theta_classes):
+                if digit != ag_class and digit not in rep:
+                    rep[digit] = pair
+            self._theta_class_reps = rep      # digit -> parameter pair name
+            self._theta_ag_class = ag_class
         self.n_states = gc.n_states
         self.corner_freqs = np.asarray(corner_freqs)  # [4, 3]
         self.frequencies = jnp.asarray(np.asarray(codon_freqs).reshape(-1))
@@ -77,7 +101,24 @@ class MG94Base(SubstitutionModel):
             if p != "AG"
         }
 
+    def theta_parameter_specs(self) -> Specs:
+        """Instance-aware variant: honors ``theta_classes`` sharing."""
+        if getattr(self, "theta_classes", None) is None:
+            return self.theta_specs()
+        return {
+            f"theta_{pair}": ParamSpec(init=1.0, lower=0.0, upper=10000.0)
+            for pair in self._theta_class_reps.values()
+        }
+
     def _theta_vector(self, params: Params) -> jnp.ndarray:
+        if getattr(self, "theta_classes", None) is not None:
+            free = [params[f"theta_{p}"] for p in self._theta_class_reps.values()]
+            one = jnp.ones((), dtype=free[0].dtype) if free else jnp.ones(())
+            return jnp.stack([
+                one if d == self._theta_ag_class
+                else params[f"theta_{self._theta_class_reps[d]}"]
+                for d in self.theta_classes
+            ])
         dtype = params["theta_AC"].dtype
         one = jnp.ones((), dtype=dtype)
         return jnp.stack(
@@ -268,7 +309,7 @@ class MG94xREVMultiHit(MG94Base):
         self.triple = triple
 
     def parameter_specs(self, n_branches: int) -> Specs:
-        specs = self.theta_specs()
+        specs = self.theta_parameter_specs()
         specs["omega"] = ParamSpec(init=0.25, lower=0.0, upper=10000.0, shape=(self.n_groups,))
         specs["alpha"] = ParamSpec(init=0.15, lower=0.0, upper=10000.0, shape=(n_branches,))
         # reference rate bounds: delta/psi in [0, 100] (MG_REV_MH.bf)
@@ -313,7 +354,7 @@ class MG94xREV(MG94Base):
     (reference: model_type = terms.global)."""
 
     def parameter_specs(self, n_branches: int) -> Specs:
-        specs = self.theta_specs()
+        specs = self.theta_parameter_specs()
         specs["omega"] = ParamSpec(init=0.25, lower=0.0, upper=10000.0)
         specs["t"] = ParamSpec(init=0.05, lower=0.0, upper=10000.0, shape=(n_branches,))
         return specs
@@ -337,7 +378,7 @@ class MG94xREVLocal(MG94Base):
     """'Local' model type: per-branch (alpha, beta) = (synRate, nonSynRate)."""
 
     def parameter_specs(self, n_branches: int) -> Specs:
-        specs = self.theta_specs()
+        specs = self.theta_parameter_specs()
         specs["alpha"] = ParamSpec(init=0.05, lower=0.0, upper=10000.0, shape=(n_branches,))
         specs["beta"] = ParamSpec(init=0.05, lower=0.0, upper=10000.0, shape=(n_branches,))
         return specs
@@ -372,15 +413,16 @@ class MG94xREVPartitionedOmega(MG94Base):
         branch_groups: np.ndarray,      # [B] int group per branch
         n_groups: int,
         free_lengths: bool = False,     # if True, alpha_b free (init from nuc)
+        theta_classes: Optional[str] = None,
     ):
-        super().__init__(gc, corner_freqs, codon_freqs)
+        super().__init__(gc, corner_freqs, codon_freqs, theta_classes=theta_classes)
         self.nuc_lengths = jnp.asarray(np.asarray(nuc_lengths, dtype=np.float64))
         self.branch_groups = jnp.asarray(np.asarray(branch_groups, dtype=np.int32))
         self.n_groups = n_groups
         self.free_lengths = free_lengths
 
     def parameter_specs(self, n_branches: int) -> Specs:
-        specs = self.theta_specs()
+        specs = self.theta_parameter_specs()
         specs["omega"] = ParamSpec(init=0.25, lower=0.0, upper=10000.0, shape=(self.n_groups,))
         if self.free_lengths:
             specs["alpha"] = ParamSpec(init=0.15, lower=0.0, upper=10000.0, shape=(n_branches,))

@@ -83,8 +83,8 @@ def transition_matrix(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
 def shared_taylor_propagators(
     q: jnp.ndarray,              # [S, S] one shared generator
     t: jnp.ndarray,              # [B] per-branch times
-    terms: int = 22,
-    max_squarings: int = 5,
+    terms: int = None,
+    max_squarings: int = 8,
 ) -> jnp.ndarray:
     """P(t_b) = expm(q * t_b) for ONE generator and MANY times.
 
@@ -98,14 +98,23 @@ def shared_taylor_propagators(
     (``src/core/matrix.cpp:5537``: scale / Taylor / square / renormalize).
     """
     dtype = q.dtype
+    if terms is None:
+        # series tail after K terms at argument 2: 2^(K+1)/(K+1)!
+        terms = 28 if dtype == jnp.float64 else 22
     s_dim = q.shape[-1]
     # normalize the generator to unit inf-norm; fold the factor into t
     norm = jnp.maximum(jnp.max(jnp.sum(jnp.abs(q), axis=-1)), 1e-30)
     m = jnp.ceil(jnp.log2(norm))
     qn = q * jnp.exp2(-m).astype(dtype)
     t_eff = t * jnp.exp2(m).astype(dtype)
-    # per-branch squarings so the series argument is <= 2 (22 terms leave a
-    # 2^23/23! ~ 3e-16 tail; e^2 cancellation amplification ~7x fp32 eps)
+    # saturate beyond the ladder's range: at ||Q t|| ~ 2^(s+1) the chain is
+    # essentially mixed (P ~ stationary), and an un-saturated argument would
+    # make the truncated series diverge — producing huge finite "likelihoods"
+    # that derail line searches probing large branch lengths
+    t_eff = jnp.minimum(t_eff, jnp.asarray(2.0 ** (max_squarings + 1), dtype))
+    # per-branch squarings so the series argument is <= 2 (the tail after K
+    # terms at argument 2 is 2^(K+1)/(K+1)!; e^2 cancellation amplification
+    # is a benign ~7x dtype eps)
     sq = jnp.clip(
         jnp.ceil(jnp.log2(jnp.maximum(t_eff, 1e-30))) - 1.0, 0, max_squarings
     )

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from hyphy_tpu.models.parameters import Params, Specs
-from hyphy_tpu.optimize.core import maximize
+from hyphy_tpu.optimize.core import maximize_jax
 
 
 def grid_best_starts(
@@ -56,7 +56,7 @@ def vmapped_maximize(
     idx = jnp.arange(n_items)
 
     def solve_one(i, init):
-        return maximize(
+        return maximize_jax(
             lambda p: objective(i, p),
             specs,
             init,

@@ -1,24 +1,35 @@
-"""Outer maximum-likelihood driver: bounded L-BFGS on JAX AD gradients.
+"""Outer maximum-likelihood driver.
 
 Replaces the reference's derivative-free hybrid optimizer
 (``_LikelihoodFunction::Optimize``, ``src/core/likefunc.cpp:4629``:
 conjugate-gradient passes with numerical gradients + per-coordinate Brent).
-With exact gradients from autodiff the bounded quasi-Newton converges in
-far fewer likelihood evaluations; parameters are mapped to unbounded space
-with a scaled logit (the reference does the same kind of remap,
-``docs/optimization.md:72``).
+
+Two entry points:
+
+  * :func:`maximize` — the host-level driver used for whole-gene fits: a
+    bounded L-BFGS-B loop (scipy) over a jit-compiled value-and-gradient.
+    This is exactly the reference's MPI "broadcast theta, reduce lnL"
+    shape (``likefunc.cpp:1654``): the parameter vector is tiny and lives
+    on the host, each evaluation is one fused device program.  Native box
+    bounds (no logit remap) matter: phylogenetic fits have hundreds of
+    branch-length parameters pinned near 0 where a squashing transform
+    destroys the quasi-Newton curvature model.
+  * :func:`maximize_jax` — a fully jittable/vmappable optax L-BFGS loop
+    used by the batched per-site machinery (``optimize/batched.py``) where
+    thousands of small independent fits run as one vmapped program.
 
 Convergence mirrors ``OPTIMIZATION_PRECISION`` semantics: stop when the
-lnL improvement over an iteration falls below the precision.
+lnL improvement falls below the precision (and, for the host driver, the
+projected gradient is small or restarts stop helping).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from hyphy_tpu.models.parameters import (
@@ -26,6 +37,7 @@ from hyphy_tpu.models.parameters import (
     Specs,
     clip_to_bounds,
     count_parameters,
+    flatten,
     to_bounded,
     to_unbounded,
 )
@@ -37,10 +49,91 @@ def maximize(
     init: Params,
     precision: float = 0.001,
     max_iterations: Optional[int] = None,
+    memory_size: int = 25,
+) -> Tuple[Params, jnp.ndarray, jnp.ndarray]:
+    """Maximize ``objective`` over bounded params (host L-BFGS-B driver).
+    Returns (params, value, iterations)."""
+    from scipy.optimize import minimize
+
+    n_free = count_parameters(specs)
+    if n_free == 0:
+        return dict(init), objective(init), jnp.zeros((), jnp.int32)
+    if max_iterations is None:
+        max_iterations = max(500, 30 * n_free)
+
+    init = clip_to_bounds(
+        {k: jnp.asarray(init[k], jnp.float64) for k in specs}, specs
+    )
+    x0, unflatten = flatten(init)
+    keys = sorted(specs)
+    bounds = []
+    for k in keys:
+        s = specs[k]
+        n = int(np.prod(s.shape)) if s.shape else 1
+        # nudge zero lower bounds: at a rate of exactly 0, mismatching site
+        # likelihoods are exactly 0, the clamp kills every gradient, and
+        # L-BFGS-B declares convergence on its first projected step
+        lo = float(s.lower)
+        if lo == 0.0 and float(s.upper) > 0.0:
+            lo = 1e-8
+        bounds.extend([(lo, float(s.upper))] * n)
+
+    def neg(x):
+        value = objective(unflatten(jnp.asarray(x)))
+        return jnp.where(jnp.isfinite(value), -value, jnp.inf)
+
+    val_and_grad = jax.jit(jax.value_and_grad(neg))
+
+    def fg(x):
+        v, g = val_and_grad(x)
+        v = float(v)
+        g = np.array(g, dtype=np.float64)
+        if np.isnan(v):
+            v = np.inf  # L-BFGS-B's line search backtracks on inf
+        g[~np.isfinite(g)] = 0.0
+        return v, g
+
+    x = np.asarray(x0, dtype=np.float64)
+    best_val = np.inf
+    total_it = 0
+    # L-BFGS-B restarts: re-initializing the curvature memory at the stall
+    # point recovers progress on fits with many near-bound branch lengths
+    # (the role the reference's gradient/coordinate-pass alternation plays,
+    # likefunc.cpp:4677-4683)
+    for _ in range(6):
+        res = minimize(
+            fg, x, jac=True, method="L-BFGS-B", bounds=bounds,
+            options={
+                "maxiter": max_iterations - total_it,
+                "maxcor": memory_size,
+                "ftol": 1e-14,
+                "gtol": 1e-8,
+                "maxls": 60,
+            },
+        )
+        x = np.asarray(res.x, dtype=np.float64)
+        total_it += int(res.nit)
+        improved = best_val - float(res.fun)
+        best_val = min(best_val, float(res.fun))
+        if total_it >= max_iterations or improved < precision:
+            break
+
+    final = {k: jnp.asarray(v) for k, v in unflatten(jnp.asarray(x)).items()}
+    value = objective(final)
+    return final, value, jnp.asarray(total_it, jnp.int32)
+
+
+def maximize_jax(
+    objective: Callable[[Params], jnp.ndarray],
+    specs: Specs,
+    init: Params,
+    precision: float = 0.001,
+    max_iterations: Optional[int] = None,
     memory_size: int = 15,
 ) -> Tuple[Params, jnp.ndarray, jnp.ndarray]:
-    """Maximize ``objective`` over bounded params. Returns (params, value,
-    iterations)."""
+    """Jittable/vmappable variant: optax L-BFGS on logit-remapped bounded
+    parameters (the reference also remaps to unbounded space,
+    ``docs/optimization.md:72``).  Used for batched per-site fits."""
     n_free = count_parameters(specs)
     if n_free == 0:
         return dict(init), objective(init), jnp.zeros((), jnp.int32)
@@ -49,22 +142,21 @@ def maximize(
 
     def loss(u: Params) -> jnp.ndarray:
         value = objective(to_bounded(u, specs))
-        # guard NaN/-inf so the line search backtracks instead of dying
-        # (reference: TOLERATE_NUMERICAL_ERRORS retry logic)
         return jnp.where(jnp.isfinite(value), -value, jnp.inf)
 
     u0 = to_unbounded(clip_to_bounds(init, specs), specs)
     solver = optax.lbfgs(memory_size=memory_size)
     value_and_grad = optax.value_and_grad_from_state(loss)
 
-    # stop after `patience` consecutive iterations that each improve the
-    # objective by less than `precision` (mirrors the reference's
-    # "last pass improved < OPTIMIZATION_PRECISION" rule while tolerating
-    # single flat line-search iterations)
+    # stop after `patience` consecutive sub-precision improvements, but only
+    # once the gradient is small too; `hard_patience` flat iterations means
+    # the line search is at its noise floor regardless
     patience = 3
+    hard_patience = 20
+    grad_tol = jnp.asarray(max(precision, 1e-8), jnp.float64)
 
     def step(carry):
-        u, state, prev_value, it, flat_count = carry
+        u, state, prev_value, it, flat_count, _ = carry
         value, grad = value_and_grad(u, state=state)
         updates, state = solver.update(
             grad, state, u, value=value, grad=grad, value_fn=loss
@@ -72,18 +164,23 @@ def maximize(
         u_new = optax.apply_updates(u, updates)
         improvement = prev_value - value
         flat_count = jnp.where(improvement < precision, flat_count + 1, 0)
-        return u_new, state, value, it + 1, flat_count
+        gmax = jnp.max(
+            jnp.asarray([jnp.max(jnp.abs(g)) for g in jax.tree_util.tree_leaves(grad)])
+        )
+        return u_new, state, value, it + 1, flat_count, gmax
 
     def cond(carry):
-        _, _, _, it, flat_count = carry
-        return jnp.logical_and(it < max_iterations, flat_count < patience)
+        _, _, _, it, flat_count, gmax = carry
+        converged = jnp.logical_and(flat_count >= patience, gmax <= grad_tol)
+        converged = jnp.logical_or(converged, flat_count >= hard_patience)
+        return jnp.logical_and(it < max_iterations, jnp.logical_not(converged))
 
     state0 = solver.init(u0)
-    u, state, value, it, _ = jax.lax.while_loop(
+    u, state, value, it, _, _ = jax.lax.while_loop(
         cond,
         step,
         (u0, state0, jnp.asarray(jnp.inf, jnp.float64), jnp.zeros((), jnp.int32),
-         jnp.zeros((), jnp.int32)),
+         jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, jnp.float64)),
     )
     final_value = loss(u)
     # the last accepted point may be (slightly) worse than the best seen

@@ -31,6 +31,21 @@ def data_path(name: str) -> str:
     raise FileNotFoundError(name)
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running parity fixtures (set HYPHY_TPU_RUN_SLOW=1)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("HYPHY_TPU_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow fixture; set HYPHY_TPU_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def cd2_path() -> str:
     return data_path("CD2.nex")
