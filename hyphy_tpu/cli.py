@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rates", type=int, default=3)
     p.add_argument("--syn-rates", dest="syn_rates", type=int, default=3)
     p.add_argument("--starting-points", dest="starting_points", type=int, default=1)
+    p.add_argument("--save-fit", dest="save_fit", default=None,
+                   help="cache the unconstrained-model fit at this path and reuse it on reruns")
 
     p = sub.add_parser("relax", help="Relaxation of selection test")
     common_args(p)
@@ -165,7 +167,8 @@ def main(argv=None) -> int:
         result = mod.run(args.alignment, args.code, tree, args.branches,
                          srv=_bool(args.srv), rate_classes=args.rates,
                          srv_classes=args.syn_rates,
-                         starting_points=max(args.starting_points, 2))
+                         starting_points=max(args.starting_points, 2),
+                         save_fit=args.save_fit)
     elif method == "relax":
         from hyphy_tpu.methods import relax as mod
         result = mod.run(args.alignment, args.code, tree, test=args.test,

@@ -66,8 +66,21 @@ def _protein_masks() -> np.ndarray:
     return table
 
 
+def _binary_masks() -> np.ndarray:
+    """256-entry char -> 2-bit state mask for 0/1 characters
+    (reference: libv3/models/binary.bf data handling)."""
+    table = np.full(256, -1, dtype=np.int32)
+    table[ord("0")] = 1
+    table[ord("1")] = 2
+    for ch in "NX?.*":
+        table[ord(ch)] = 3
+    table[ord("-")] = 0
+    return table
+
+
 _NUC_MASKS = _nuc_masks()
 _PROTEIN_MASKS = _protein_masks()
+_BINARY_MASKS = _binary_masks()
 
 
 def _char_mask_matrix(sequences: Sequence[str], table: np.ndarray, what: str) -> np.ndarray:
@@ -129,6 +142,8 @@ class DataFilter:
 
         if datatype == "protein":
             masks = _char_mask_matrix(seqs, _PROTEIN_MASKS, "protein")
+        elif datatype == "binary":
+            masks = _char_mask_matrix(seqs, _BINARY_MASKS, "binary")
         else:
             masks = _char_mask_matrix(seqs, _NUC_MASKS, "nucleotide")
         if sites is not None:
@@ -138,6 +153,8 @@ class DataFilter:
             return DataFilter._build_simple(names, masks, 4, datatype, None, aln.file_name)
         if datatype == "protein":
             return DataFilter._build_simple(names, masks, 20, datatype, None, aln.file_name)
+        if datatype == "binary":
+            return DataFilter._build_simple(names, masks, 2, datatype, None, aln.file_name)
         if datatype == "codon":
             gc = genetic_code or GeneticCode("Universal")
             return DataFilter._build_codon(names, masks, gc, aln.file_name)
@@ -285,7 +302,7 @@ class DataFilter:
         ``[4**atom, 1]`` (for nucleotide atoms; protein analogous).
         """
         masks = self.char_masks
-        n_base = 4 if self.datatype != "protein" else 20
+        n_base = {"protein": 20, "binary": 2}.get(self.datatype, 4)
         positions = unit // atom
         out = np.zeros((n_base**atom, positions if position_specific else 1))
         n_raw = masks.shape[1]

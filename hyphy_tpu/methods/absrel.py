@@ -31,7 +31,10 @@ from hyphy_tpu.models.bsrel import BSRELEngine
 from hyphy_tpu.models.codon import MG94Base
 from hyphy_tpu.models.parameters import ParamSpec, Specs
 from hyphy_tpu.ops import pruning
-from hyphy_tpu.optimize.core import maximize
+# mixture-model fits (bounded omegas/weights at vertices of the box)
+# optimize far better under the logit-remapped jittable L-BFGS than
+# under raw-space L-BFGS-B, which stalls on projected corner steps
+from hyphy_tpu.optimize.core import maximize_jax as maximize
 
 KMAX = 5  # reference: at most 5 rate classes per branch (aBSREL.bf:29)
 

@@ -24,7 +24,10 @@ from hyphy_tpu.models.bsrel import BSRELEngine, omega_distribution, srv_distribu
 from hyphy_tpu.models.codon import MG94Base
 from hyphy_tpu.models.parameters import ParamSpec, Specs
 from hyphy_tpu.ops import pruning
-from hyphy_tpu.optimize.core import maximize
+# mixture-model fits (bounded omegas/weights at vertices of the box)
+# optimize far better under the logit-remapped jittable L-BFGS than
+# under raw-space L-BFGS-B, which stalls on projected corner steps
+from hyphy_tpu.optimize.core import maximize_jax as maximize
 
 
 @dataclasses.dataclass
@@ -61,6 +64,20 @@ def _srv_specs(k: int) -> Specs:
     return specs
 
 
+def _hmm_viterbi_path(engine, unpack, params, c_srv, filt):
+    """Most probable synonymous-rate class per site (RunViterbi,
+    likefunc2.cpp:1284)."""
+    from hyphy_tpu.ops import hmm as hmm_ops
+
+    omegas, weights, rates, wsrv = unpack(params)
+    class_sll = engine.class_site_log_likelihoods(
+        params, omegas, weights, params["t"], rates
+    )
+    trans = hmm_ops.uniform_switching_matrix(c_srv, params["srv_lambda"])
+    path, _ = hmm_ops.viterbi_path(class_sll, filt.duplicate_map, trans, wsrv)
+    return [int(x) for x in path]
+
+
 def run(
     alignment: str,
     genetic_code: str = "Universal",
@@ -72,7 +89,22 @@ def run(
     starting_points: int = 5,
     precision: float = 1e-4,
     seed: int = 1,
+    save_fit: Optional[str] = None,
+    srv_hmm: bool = False,
 ) -> BUSTEDResult:
+    """``save_fit``: path for a full-model snapshot — written after the
+    unconstrained fit and reused (skipping that fit) on reruns against the
+    same data (reference --save-fit / busted.use_cached_full_model,
+    BUSTED.bf:680-733).
+
+    ``srv_hmm``: the synonymous rate classes follow a hidden Markov chain
+    along the alignment (uniform switching with an estimated rate
+    ``srv_lambda``) instead of mixing independently per site — the
+    reference's HMM SRV option (BUSTED.bf:137-158; engine
+    ``SumUpHiddenMarkov``, likefunc2.cpp:1166).  The fitted Viterbi class
+    path is reported under "Site Log Likelihood"/"hmm path"."""
+    if srv_hmm:
+        srv = True
     data = common.load_codon_data(alignment, genetic_code, tree, branches)
     gtr = common.fit_gtr(data, precision=1e-5)
     mg = common.fit_partitioned_mg94(data, gtr, precision=1e-5)
@@ -99,6 +131,8 @@ def run(
         specs.update(_distribution_specs("bkg", k))
     if srv:
         specs.update(_srv_specs(c_srv))
+    if srv_hmm:
+        specs["srv_lambda"] = ParamSpec(init=0.2, lower=1e-4, upper=1.0 - 1e-4)
     specs["t"] = ParamSpec(init=0.1, lower=0.0, upper=10000.0,
                            shape=(data.tree.n_branches,))
 
@@ -117,9 +151,22 @@ def run(
             rates, wsrv = jnp.ones((1,)), jnp.ones((1,))
         return omegas, weights, rates, wsrv
 
-    def loglik(params):
-        omegas, weights, rates, wsrv = unpack(params)
-        return engine.loglik(params, omegas, weights, params["t"], rates, wsrv)
+    if srv_hmm:
+        from hyphy_tpu.ops import hmm as hmm_ops
+
+        dup_map = filt.duplicate_map
+
+        def loglik(params):
+            omegas, weights, rates, wsrv = unpack(params)
+            class_sll = engine.class_site_log_likelihoods(
+                params, omegas, weights, params["t"], rates
+            )
+            trans = hmm_ops.uniform_switching_matrix(c_srv, params["srv_lambda"])
+            return hmm_ops.forward_log_likelihood(class_sll, dup_map, trans, wsrv)
+    else:
+        def loglik(params):
+            omegas, weights, rates, wsrv = unpack(params)
+            return engine.loglik(params, omegas, weights, params["t"], rates, wsrv)
 
     def site_logliks(params):
         omegas, weights, rates, wsrv = unpack(params)
@@ -151,24 +198,53 @@ def run(
                 cand[name] = spec.initial()
         candidates.append(cand)
 
-    ll_fn = jax.jit(loglik)
-    scored = sorted(
-        ((float(ll_fn(c)), i) for i, c in enumerate(candidates)), reverse=True
-    )
-    # coarse fits from the best few candidates, then polish the winners
-    # (the BS_REL surface is multimodal; the reference uses an initial
-    # grid + Nelder-Mead passes + random restarts, BUSTED.bf:835-909)
-    coarse = []
-    for _, idx in scored[: max(starting_points, 2)]:
-        p0, v0, _ = maximize(loglik, specs, candidates[idx], precision=0.05,
-                             max_iterations=400)
-        coarse.append((float(v0), p0))
-    coarse.sort(key=lambda x: -x[0])
-    alt_params, alt_lnl = None, -np.inf
-    for v0, p0 in coarse[:2]:
-        p1, v1, _ = maximize(loglik, specs, p0, precision=precision)
-        if float(v1) > alt_lnl:
-            alt_lnl, alt_params = float(v1), p1
+    # cached full-model fit (reference --save-fit /
+    # busted.use_cached_full_model, BUSTED.bf:680-733)
+    fingerprint = ""
+    if save_fit:
+        from hyphy_tpu.io import serialize
+
+        fingerprint = serialize.data_fingerprint(
+            data.alignment.names, data.alignment.sequences
+        )
+        cached = serialize.load_snapshot(
+            save_fit, expect_fingerprint=fingerprint, expect_model="BUSTED"
+        )
+    else:
+        cached = None
+
+    if cached is not None and set(cached["parameters"]) == set(specs):
+        alt_params = {k2: jnp.asarray(v) for k2, v in cached["parameters"].items()}
+        alt_lnl = float(cached["log_likelihood"])
+    else:
+        ll_fn = jax.jit(loglik)
+        scored = sorted(
+            ((float(ll_fn(c)), i) for i, c in enumerate(candidates)), reverse=True
+        )
+        # coarse fits from the best few candidates, then polish the winners
+        # (the BS_REL surface is multimodal; the reference uses an initial
+        # grid + Nelder-Mead passes + random restarts, BUSTED.bf:835-909)
+        coarse = []
+        for _, idx in scored[: max(starting_points, 2)]:
+            p0, v0, _ = maximize(loglik, specs, candidates[idx], precision=0.05,
+                                 max_iterations=400)
+            coarse.append((float(v0), p0))
+        coarse.sort(key=lambda x: -x[0])
+        alt_params, alt_lnl = None, -np.inf
+        for v0, p0 in coarse[:2]:
+            p1, v1, _ = maximize(loglik, specs, p0, precision=precision)
+            if float(v1) > alt_lnl:
+                alt_lnl, alt_params = float(v1), p1
+        if save_fit:
+            from hyphy_tpu.io import serialize
+
+            serialize.save_snapshot(
+                save_fit, alt_params, alt_lnl, model="BUSTED",
+                model_config={"rate_classes": k, "srv_classes": c_srv,
+                              "srv": srv, "branches": branches},
+                tree=data.tree.newick_string,
+                fingerprint=fingerprint,
+            )
 
     # -- null: omega_3 := 1 -------------------------------------------------
     null_fixed = {f"test_omega_{k}": jnp.asarray(1.0)}
@@ -251,6 +327,17 @@ def run(
                 "unconstrained": [sll_alt.tolist()],
                 "optimized null": [sll_null.tolist()],
             },
+            **(
+                {
+                    "Synonymous rate HMM": {
+                        "switching rate": float(alt_params["srv_lambda"]),
+                        "Viterbi path": _hmm_viterbi_path(
+                            engine, unpack, alt_params, c_srv, filt
+                        ),
+                    }
+                }
+                if srv_hmm else {}
+            ),
         },
     )
     return BUSTEDResult(

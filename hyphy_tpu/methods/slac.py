@@ -185,7 +185,14 @@ def run(
     branches: str = "All",
     pvalue: float = 0.1,
     precision: float = 1e-5,
+    samples: int = 0,
+    seed: int = 0,
 ) -> SLACResult:
+    """``samples`` > 0 adds ancestral-uncertainty resampling: states are
+    drawn from the joint ancestral posterior ``samples`` times, counts are
+    recomputed per draw, and per-site medians / 2.5% / 97.5% quantiles are
+    reported (reference ``slac.handle_a_sample``, SLAC.bf:327; JSON keys
+    SLAC.bf:107-109)."""
     data = common.load_codon_data(alignment, genetic_code, tree, branches)
     gtr = common.fit_gtr(data, precision=precision)
     # SLAC reports the proportional (stage-1) MG94 fit (lnL -3467.319 golden)
@@ -214,6 +221,29 @@ def run(
         mg.branch_lengths, data.tested_branches, counts,
         filt.duplicate_map, filt.n_sequences,
     )
+
+    sample_blocks = {}
+    if samples > 0:
+        rng = np.random.default_rng(seed)
+        drawn = ancestral.sample_ancestors(
+            out.p_matrices, lp, out.root_freqs, pdata,
+            data.tree.children, samples, rng,
+        )
+        per_sample = []
+        for s in range(samples):
+            st = np.concatenate([leaf_states, drawn[s]], axis=0)
+            res_s, _ = compute_counts(
+                st, filt.resolution_table, data.tree.parent,
+                mg.branch_lengths, data.tested_branches, counts,
+                filt.duplicate_map, filt.n_sequences,
+            )
+            per_sample.append(res_s)
+        stacked = np.stack(per_sample)          # [samples, sites, cols]
+        sample_blocks = {
+            "sample-median": np.median(stacked, axis=0),
+            "sample-2.5": np.percentile(stacked, 2.5, axis=0),
+            "sample-97.5": np.percentile(stacked, 97.5, axis=0),
+        }
 
     json = analysis_json(
         info="SLAC (Single Likelihood Ancestor Counting) uses a maximum likelihood "
@@ -246,6 +276,10 @@ def run(
                         },
                     }
                 },
+            },
+            **{
+                key: {"0": {"by-site": {"RESOLVED": tbl.tolist()}}}
+                for key, tbl in sample_blocks.items()
             },
         },
     )

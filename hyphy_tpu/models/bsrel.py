@@ -105,15 +105,24 @@ class BSRELEngine:
         p_mix = jnp.maximum(p_mix, 0.0)
         return expm_ops.row_renormalize(p_mix)
 
-    def site_log_likelihoods(self, params, omegas, weights, t_b, srv_rates, srv_weights):
-        """[patterns] log-likelihood vector for the mixture model."""
+    def class_site_log_likelihoods(self, params, omegas, weights, t_b, srv_rates):
+        """[C, patterns] per-synonymous-rate-class site log-likelihoods —
+        the lattice consumed by independent mixing (below) or by the HMM
+        across sites (reference ``SumUpHiddenMarkov``, likefunc2.cpp:1166;
+        BUSTED's HMM SRV option, BUSTED.bf:137-158)."""
         times = srv_rates[:, None] * t_b[None, :]                # [C, B]
         p_mix = self.mixture_propagators(params, omegas, weights, times)
-        sll = jax.vmap(
+        return jax.vmap(
             lambda p: pruning.site_log_likelihoods(
                 p, self.leaf_partials, self.freqs, self.pdata
             )
         )(p_mix)                                                 # [C, patterns]
+
+    def site_log_likelihoods(self, params, omegas, weights, t_b, srv_rates, srv_weights):
+        """[patterns] log-likelihood vector for the mixture model."""
+        sll = self.class_site_log_likelihoods(
+            params, omegas, weights, t_b, srv_rates
+        )
         logw = jnp.log(jnp.maximum(srv_weights, 1e-300))[:, None]
         return jax.scipy.special.logsumexp(sll + logw, axis=0)
 

@@ -15,7 +15,7 @@ Behavioral port of the reference engine's
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -188,3 +188,67 @@ def marginal_posteriors(
         z = jnp.maximum(jnp.sum(joint, axis=-1, keepdims=True), 1e-300)
         post.append(joint / z)
     return jnp.stack(post)
+
+def sample_ancestors(
+    p_matrices,
+    leaf_partials,
+    root_freqs,
+    data: PruningData,
+    children: list,
+    n_samples: int,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Sample internal-node states from the joint posterior
+    (reference: ``SampleAncestorsBySequence``, ``src/core/tree.cpp:4086``;
+    driven by ``ancestral.build(lf, part, {"sample": TRUE})``).
+
+    Top-down sampling: root ~ pi_s * CLV_root[s]; each child given its
+    sampled parent state q ~ P_child[q, s] * CLV_child[s].  Returns
+    [n_samples, n_internal, patterns] int32.  Host NumPy — the inside CLVs
+    dominate and are one batched pass; per-sample work is cumsum draws.
+    """
+    rng = rng or np.random.default_rng(0)
+    n_nodes = data.n_nodes
+    lp = np.asarray(leaf_partials, dtype=np.float64)
+    patterns, states = lp.shape[1], lp.shape[2]
+    p_all = np.asarray(p_matrices, dtype=np.float64)
+
+    clv = np.ones((n_nodes, patterns, states))
+    clv[: data.n_leaves] = lp
+    order = []
+    done = set(range(data.n_leaves))
+    pending = [n for n in range(data.n_leaves, n_nodes)]
+    while pending:
+        for n in list(pending):
+            if all(c in done for c in children[n]):
+                order.append(n)
+                done.add(n)
+                pending.remove(n)
+    for n in order:
+        acc = np.ones((patterns, states))
+        for c in children[n]:
+            acc = acc * np.einsum("ij,pj->pi", p_all[c], clv[c])
+        mx = np.maximum(acc.max(axis=-1, keepdims=True), 1e-300)
+        clv[n] = acc / mx
+
+    root = n_nodes - 1
+    out = np.empty((n_samples, n_nodes - data.n_leaves, patterns), dtype=np.int32)
+
+    def draw(prob):
+        """prob [patterns, S] unnormalized -> [patterns] int samples."""
+        z = np.maximum(prob.sum(axis=-1, keepdims=True), 1e-300)
+        cdf = np.cumsum(prob / z, axis=-1)
+        u = rng.uniform(size=(patterns, 1))
+        return np.argmax(u < cdf, axis=-1).astype(np.int32)
+
+    for s in range(n_samples):
+        state = np.empty((n_nodes, patterns), dtype=np.int32)
+        state[root] = draw(clv[root] * np.asarray(root_freqs)[None, :])
+        for n in reversed(order):          # preorder: parents before children
+            for c in children[n]:
+                if c < data.n_leaves:
+                    continue
+                prob = p_all[c][state[n]] * clv[c]
+                state[c] = draw(prob)
+        out[s] = state[data.n_leaves :]
+    return out

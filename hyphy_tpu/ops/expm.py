@@ -84,7 +84,7 @@ def shared_taylor_propagators(
     q: jnp.ndarray,              # [S, S] one shared generator
     t: jnp.ndarray,              # [B] per-branch times
     terms: int = None,
-    max_squarings: int = 8,
+    max_squarings: int = None,
 ) -> jnp.ndarray:
     """P(t_b) = expm(q * t_b) for ONE generator and MANY times.
 
@@ -101,6 +101,11 @@ def shared_taylor_propagators(
     if terms is None:
         # series tail after K terms at argument 2: 2^(K+1)/(K+1)!
         terms = 28 if dtype == jnp.float64 else 22
+    if max_squarings is None:
+        # fp32 is the TPU throughput path: keep the masked ladder short
+        # (every step is a batched [B,S,S] matmul whether needed or not)
+        # and let the saturation clamp absorb line-search probes beyond it
+        max_squarings = 8 if dtype == jnp.float64 else 5
     s_dim = q.shape[-1]
     # normalize the generator to unit inf-norm; fold the factor into t
     norm = jnp.maximum(jnp.max(jnp.sum(jnp.abs(q), axis=-1)), 1e-30)

@@ -96,6 +96,12 @@ def maximize(
     x = np.asarray(x0, dtype=np.float64)
     best_val = np.inf
     total_it = 0
+    # scipy's ftol is relative; scale the requested ABSOLUTE lnL precision
+    # (OPTIMIZATION_PRECISION semantics) by the objective's magnitude so a
+    # coarse precision actually terminates coarsely
+    f0, _ = fg(x)
+    f_scale = max(abs(f0), 1.0) if np.isfinite(f0) else 1.0
+    ftol = max(precision / f_scale * 0.1, 2.5e-15)
     # L-BFGS-B restarts: re-initializing the curvature memory at the stall
     # point recovers progress on fits with many near-bound branch lengths
     # (the role the reference's gradient/coordinate-pass alternation plays,
@@ -106,7 +112,7 @@ def maximize(
             options={
                 "maxiter": max_iterations - total_it,
                 "maxcor": memory_size,
-                "ftol": 1e-14,
+                "ftol": ftol,
                 "gtol": 1e-8,
                 "maxls": 60,
             },

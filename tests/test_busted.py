@@ -36,3 +36,28 @@ class TestBUSTEDGoldens:
         assert "Test" in rd and "Background" in rd
         # omega_3 >= 1 class present with a weight
         assert rd["Test"][-1][0] >= 1.0
+
+
+class TestHMMSRV:
+    def test_hmm_srv_smoke(self, tmp_path):
+        """HMM synonymous rate variation (BUSTED.bf:137-158): the HMM fit
+        must be a proper likelihood (>= the best achievable when classes
+        are forced i.i.d. is NOT guaranteed, but it must be finite, the
+        switching rate must be interior, and the Viterbi path must have
+        one entry per codon site)."""
+        from hyphy_tpu.utils.synth import random_tree_newick, synthetic_codon_alignment
+        from hyphy_tpu.methods import busted
+        import numpy as np
+
+        aln = synthetic_codon_alignment(6, 30, seed=3)
+        fa = tmp_path / "hmm.fasta"
+        fa.write_text("".join(f">{n}\n{s}\n" for n, s in zip(aln.names, aln.sequences)))
+        res = busted.run(str(fa), tree=random_tree_newick(6, seed=3),
+                         srv_hmm=True, rate_classes=2, srv_classes=2,
+                         starting_points=1)
+        assert np.isfinite(res.unconstrained_lnl)
+        block = res.json["Synonymous rate HMM"]
+        assert 0.0 < block["switching rate"] < 1.0
+        assert len(block["Viterbi path"]) == 30
+        assert set(block["Viterbi path"]) <= {0, 1}
+        assert 0.0 <= res.p_value <= 1.0

@@ -107,3 +107,24 @@ class TestFilter:
         f = filt.harvest_frequencies(3, 1, True)
         assert f.shape == (4, 3)
         np.testing.assert_allclose(f.sum(axis=0), 1.0)
+
+
+class TestBinaryModel:
+    def test_binary_filter_and_fit(self, tmp_path):
+        """2-state model (reference: libv3/models/binary.bf)."""
+        import hyphy_tpu as ht
+        from hyphy_tpu.likelihood import LikelihoodFunction, Partition
+        from hyphy_tpu.models.binary import Binary
+
+        fa = tmp_path / "bin.fasta"
+        fa.write_text(">a\n0101100110\n>b\n0101110110\n>c\n1101100010\n>d\n1001101010\n")
+        aln = ht.read_alignment(str(fa))
+        filt = ht.DataFilter.from_alignment(aln, "binary")
+        assert filt.n_states == 2
+        tree = ht.Tree.from_newick("((a,b),(c,d))", leaf_order=filt.names)
+        freqs = filt.harvest_frequencies(1, 1, False)[:, 0]
+        lf = LikelihoodFunction([Partition(filt, tree, Binary(freqs))])
+        res = lf.fit(precision=1e-5)
+        assert np.isfinite(res.loglik)
+        # saturated upper bound: independent-site multinomial likelihood
+        assert res.loglik < 0

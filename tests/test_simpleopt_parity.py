@@ -105,24 +105,52 @@ class TestIntermediateProtein:
 
 @pytest.mark.slow
 class TestIntermediateCodon:
-    """MG94xREV (F3x4) on Influenza A HA codons, 349 seq
-    (IntermediateCodon.bf:4 golden lnL -11402.1903626064)."""
+    """MG94xREV on Influenza A HA codons, 349 seq, with the fixture's
+    embedded frequency multipliers.
+
+    The .bf pins ``_expectedLL = -11402.19``, but that constant is STALE:
+    the current reference binary built from this checkout converges to
+    -9705.862143 on its own fixture (and fails its own assertion) — the
+    data handling changed since the golden was recorded (stop-containing
+    columns are now omitted, _DataSetFilter::FilterDeletions).  We assert
+    parity with the *measured* reference optimum, which this optimizer
+    beats by ~0.04 nats."""
+
+    REFERENCE_MEASURED_LNL = -9705.862143
 
     def test_lnl(self):
-        _require(SIMPLE / "IntermediateCodon.bf")
+        path = _require(SIMPLE / "IntermediateCodon.bf")
+        src = open(path).read()
         gc = GeneticCode("Universal")
+        # reconstruct the fixture's (stale, HIV-derived) corner frequencies
+        # from its Q-entry multipliers, and its codon frequency vector
+        tbl = gc.one_step_table
+        corners = np.full((4, 3), np.nan)
+        for m in re.finditer(
+            r"LargeNuc_part_MG94xREV_3x4\[(\d+)\]\[(\d+)\]:="
+            r"[^;]*synRate\*([0-9.]+);", src
+        ):
+            i, j, mult = int(m.group(1)), int(m.group(2)), float(m.group(3))
+            pr = np.nonzero((tbl["pairs"][:, 0] == i) & (tbl["pairs"][:, 1] == j))[0]
+            if len(pr):
+                k = pr[0]
+                corners[tbl["to_nuc"][k], tbl["position"][k]] = mult
+        assert not np.isnan(corners).any()
+        fm = re.search(r"LargeNuc_part_Freqs=\{(.*?)\}\s*;", src, re.S).group(1)
+        freqs = np.array(
+            [float(x) for x in re.findall(r"\{\s*([0-9.eE+-]+)\s*\}", fm)]
+        )
         aln = ht.read_alignment(str(REFERENCE_DATA / "data" / "fluHA.nex"))
         filt = ht.DataFilter.from_alignment(aln, "codon", genetic_code=gc)
         tree = ht.Tree.from_newick(
             list(aln.trees.values())[0], leaf_order=filt.names
         )
-        corners, cf = fq.f3x4(filt, gc)
         nb = tree.n_branches
         model = MG94xREVPartitionedOmega(
-            gc, corners, cf, nuc_lengths=np.full(nb, 0.05),
+            gc, corners, freqs, nuc_lengths=np.full(nb, 0.05),
             branch_groups=np.zeros(nb, dtype=np.int32), n_groups=1,
             free_lengths=True,
         )
         lf = LikelihoodFunction([Partition(filt, tree, model)])
         res = lf.fit(precision=1e-3)
-        assert res.loglik > -11402.1903626064 - 0.05, res.loglik
+        assert res.loglik > self.REFERENCE_MEASURED_LNL - 0.05, res.loglik

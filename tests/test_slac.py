@@ -47,3 +47,25 @@ class TestSLACGoldens:
         assert (states < 61).all()
         internal = states[slac_result.data.tree.n_leaves :]
         assert (internal >= 0).mean() > 0.95
+
+
+class TestAncestralSampling:
+    def test_samples_bracket_joint_counts(self, tmp_path):
+        """slac.run(samples=N): sampled-count quantile tables exist, are
+        ordered (2.5% <= median <= 97.5%), and the JSON carries the
+        reference's keys (SLAC.bf:107-109)."""
+        from hyphy_tpu.utils.synth import random_tree_newick, synthetic_codon_alignment
+
+        aln = synthetic_codon_alignment(6, 40, seed=9)
+        fa = tmp_path / "slac_samp.fasta"
+        fa.write_text("".join(f">{n}\n{s}\n" for n, s in zip(aln.names, aln.sequences)))
+        res = slac.run(str(fa), tree=random_tree_newick(6, seed=9), samples=12)
+        j = res.json
+        for key in ("sample-median", "sample-2.5", "sample-97.5"):
+            assert key in j, key
+        med = np.asarray(j["sample-median"]["0"]["by-site"]["RESOLVED"])
+        lo = np.asarray(j["sample-2.5"]["0"]["by-site"]["RESOLVED"])
+        hi = np.asarray(j["sample-97.5"]["0"]["by-site"]["RESOLVED"])
+        assert med.shape == lo.shape == hi.shape
+        # quantile ordering on the count columns
+        assert (lo <= med + 1e-9).all() and (med <= hi + 1e-9).all()
