@@ -36,11 +36,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--branches", default="All")
     p.add_argument("--srv", default="Yes")
     p.add_argument("--pvalue", type=float, default=0.1)
+    p.add_argument("--resample", type=int, default=0,
+                   help="parametric-bootstrap replicates for per-site p-values")
 
     p = sub.add_parser("slac", help="Single-Likelihood Ancestor Counting")
     common_args(p)
     p.add_argument("--branches", default="All")
     p.add_argument("--pvalue", type=float, default=0.1)
+    p.add_argument("--samples", type=int, default=0,
+                   help="ancestral-uncertainty resampling draws")
 
     p = sub.add_parser("meme", help="Mixed Effects Model of Evolution")
     common_args(p)
@@ -61,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--srv", default="Yes")
     p.add_argument("--rates", type=int, default=3)
     p.add_argument("--syn-rates", dest="syn_rates", type=int, default=3)
+    p.add_argument("--srv-hmm", dest="srv_hmm", action="store_true",
+                   help="synonymous rate classes follow an HMM across sites")
     p.add_argument("--starting-points", dest="starting_points", type=int, default=1)
     p.add_argument("--save-fit", dest="save_fit", default=None,
                    help="cache the unconstrained-model fit at this path and reuse it on reruns")
@@ -148,11 +154,12 @@ def main(argv=None) -> int:
     if method == "fel":
         from hyphy_tpu.methods import fel as mod
         result = mod.run(args.alignment, args.code, tree, args.branches,
-                         srv=_bool(args.srv), pvalue=args.pvalue)
+                         srv=_bool(args.srv), pvalue=args.pvalue,
+                         resample=args.resample)
     elif method == "slac":
         from hyphy_tpu.methods import slac as mod
         result = mod.run(args.alignment, args.code, tree, args.branches,
-                         pvalue=args.pvalue)
+                         pvalue=args.pvalue, samples=args.samples)
     elif method == "meme":
         from hyphy_tpu.methods import meme as mod
         result = mod.run(args.alignment, args.code, tree, args.branches,
@@ -168,7 +175,7 @@ def main(argv=None) -> int:
                          srv=_bool(args.srv), rate_classes=args.rates,
                          srv_classes=args.syn_rates,
                          starting_points=max(args.starting_points, 2),
-                         save_fit=args.save_fit)
+                         save_fit=args.save_fit, srv_hmm=args.srv_hmm)
     elif method == "relax":
         from hyphy_tpu.methods import relax as mod
         result = mod.run(args.alignment, args.code, tree, test=args.test,

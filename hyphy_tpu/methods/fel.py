@@ -60,6 +60,93 @@ class FELResult:
     mg94: common.MG94Fit
 
 
+def _bootstrap_pvalues(
+    n_reps, seed, data, filt, model, mg, q_syn_np, q_non_np, alpha_np,
+    null_common, null_bg, lrt_obs, loglik_vectors, specs, grid, srv,
+    has_background,
+):
+    """Parametric-bootstrap per-site p-values (FEL.bf:805-820): simulate
+    ``n_reps`` columns under each site's null fit, refit alternative and
+    null on every replicate as one big vmapped batch, and compare LRTs."""
+    import scipy.linalg as sla
+
+    from hyphy_tpu.optimize.nelder_mead import vmapped_nelder_mead
+    from hyphy_tpu.parallel.mesh import sharded_site_solve
+    from hyphy_tpu.utils import simulate as sim_mod
+
+    rng = np.random.default_rng(seed)
+    n_patterns = null_common.shape[0]
+    states_dim = q_syn_np.shape[0]
+    tree = data.tree
+    groups = np.where(data.tested_branches, 0, 1)
+    root_freqs = np.asarray(model.frequencies)
+    eye = np.eye(states_dim)
+    sim_partials = np.ones(
+        (filt.n_sequences, n_patterns * n_reps, states_dim)
+    )
+    constant = filt.constant_pattern_mask()
+    for s in range(n_patterns):
+        if constant[s]:
+            continue  # constant sites are not tested; leave as missing
+        betas = [float(null_common[s]), float(null_bg[s])]
+        q_groups = []
+        for g in range(2 if has_background else 1):
+            q = float(null_common[s]) * q_syn_np + betas[g] * q_non_np
+            q -= np.diag(q.sum(axis=1))
+            q_groups.append(q)
+        p = np.stack([
+            sla.expm(q_groups[groups[b] if has_background else 0] * alpha_np[b])
+            for b in range(tree.n_branches)
+        ])
+        st = sim_mod.simulate_states(tree, p, root_freqs, n_reps, rng)
+        sim_partials[:, s * n_reps : (s + 1) * n_reps, :] = eye[
+            st[: filt.n_sequences]
+        ]
+    sim_lp = jnp.asarray(sim_partials)
+
+    def sim_alt_loglik(i, scalers):
+        a = scalers["alpha"] if srv else jnp.ones(())
+        betas = [scalers["beta_test"]]
+        if has_background:
+            betas.append(scalers["beta_nuisance"])
+        return loglik_vectors(sim_lp[:, i, :], a, betas)
+
+    def sim_null_loglik(i, scalers):
+        betas = [scalers["alpha"]]
+        if has_background:
+            betas.append(scalers["beta_nuisance"])
+        return loglik_vectors(sim_lp[:, i, :], scalers["alpha"], betas)
+
+    def fit_sims(idx, _init):
+        starts, _ = grid_best_starts(sim_alt_loglik, grid, idx)
+        alt_params, alt_lnl = vmapped_nelder_mead(
+            sim_alt_loglik, specs, starts, idx
+        )
+        alt_alpha = alt_params["alpha"] if srv else jnp.ones(idx.shape[0])
+        null_specs = {"alpha": ParamSpec(init=1.0, lower=0.0, upper=10000.0)}
+        null_start = {
+            "alpha": (jnp.minimum(alt_alpha, 100.0)
+                      + 3.0 * jnp.minimum(alt_params["beta_test"], 100.0)) / 4.0
+        }
+        if has_background:
+            null_specs["beta_nuisance"] = specs["beta_nuisance"]
+            null_start["beta_nuisance"] = alt_params["beta_nuisance"]
+        _, null_lnl = vmapped_nelder_mead(
+            sim_null_loglik, null_specs, null_start, idx
+        )
+        return alt_lnl, null_lnl
+
+    alt_lnl, null_lnl = (
+        np.array(x)
+        for x in sharded_site_solve(fit_sims, {}, n_patterns * n_reps)
+    )
+    lrt_sim = np.maximum(2.0 * (alt_lnl - null_lnl), 0.0).reshape(
+        n_patterns, n_reps
+    )
+    hits = (lrt_sim >= lrt_obs[:, None] - 1e-10).sum(axis=1)
+    return (hits + 1.0) / (n_reps + 1.0)
+
+
 def run(
     alignment: str,
     genetic_code: str = "Universal",
@@ -69,7 +156,14 @@ def run(
     pvalue: float = 0.1,
     precision: float = 1e-5,
     site_precision: float = 1e-4,
+    resample: int = 0,
+    resample_seed: int = 0,
 ) -> FELResult:
+    """``resample`` > 0: per-site parametric-bootstrap p-values — simulate
+    that many replicate columns under each site's NULL fit, refit
+    alternative+null per replicate, and report
+    ``p = (1 + #{LRT_sim >= LRT_obs}) / (N + 1)`` instead of the chi^2_1
+    asymptotics (reference FEL.bf:805-820, ``--resample``)."""
     data = common.load_codon_data(alignment, genetic_code, tree, branches)
     gtr = common.fit_gtr(data, precision=precision)
     mg = common.fit_partitioned_mg94(data, gtr, precision=precision)
@@ -90,16 +184,16 @@ def run(
     pdata = pruning.build_pruning_data(data.tree)
     tested_j = jnp.asarray(tested.astype(np.float64))
 
-    def _loglik_core(i, a, beta_list):
-        """lnL of pattern i with alpha scaler ``a`` and per-group beta
-        scalers; branch rates are alpha_hat_b * scaler.  Spectral factors
-        act on CLV vectors (no P materialization) — the per-site fast path."""
+    def _loglik_vectors(leaf_vecs, a, beta_list):
+        """lnL for explicit [taxa, S] leaf vectors with alpha scaler ``a``
+        and per-group beta scalers; branch rates are alpha_hat_b * scaler.
+        Spectral factors act on CLV vectors (no P materialization) — the
+        per-site fast path."""
         b = jnp.stack(beta_list)                                # [G]
         m = fill_diagonal_from_rows(
             a * q_syn[None] + b[:, None, None] * q_non[None]
         )                                                        # [G,S,S]
         left, lam, right = expm_ops.reversible_spectral(m, freqs)
-        leaf_vecs = leaf_partials[:, i, :]                       # [taxa, S]
         if has_background:
             return pruning.single_site_log_likelihood_spectral(
                 left[group_of_branch], lam[group_of_branch],
@@ -108,6 +202,9 @@ def run(
         return pruning.single_site_log_likelihood_spectral(
             left[0], lam[0], right[0], alpha_hat, leaf_vecs, freqs, pdata,
         )
+
+    def _loglik_core(i, a, beta_list):
+        return _loglik_vectors(leaf_partials[:, i, :], a, beta_list)
 
     def site_loglik(i, scalers):
         a = scalers["alpha"] if srv else jnp.ones(())
@@ -173,16 +270,28 @@ def run(
         # /3: codon branch lengths are per nucleotide site
         bl = (a_b * rate_syn + beta_b * rate_non) / 3.0
         total_bl = bl @ tested_j
-        return alt_alpha, alt_beta, alt_lnl, null_common, null_lnl, total_bl
+        null_bg = (
+            null_params["beta_nuisance"] if has_background
+            else jnp.ones_like(null_common)
+        )
+        return (alt_alpha, alt_beta, alt_lnl, null_common, null_lnl,
+                total_bl, null_bg)
 
     from hyphy_tpu.parallel.mesh import sharded_site_solve
 
-    alt_alpha, alt_beta, alt_lnl, null_common, null_lnl, total_bl = (
+    alt_alpha, alt_beta, alt_lnl, null_common, null_lnl, total_bl, null_bg = (
         np.array(x)
         for x in sharded_site_solve(fit_all_sites, {}, n_patterns)
     )
     lrt = np.maximum(2.0 * (alt_lnl - null_lnl), 0.0)
     pvals = np.array([common.chi2_sf(x, 1) for x in lrt])
+
+    if resample > 0:
+        pvals = _bootstrap_pvalues(
+            resample, resample_seed, data, filt, model, mg, np.asarray(q_syn),
+            np.asarray(q_non), np.asarray(alpha_hat), null_common, null_bg,
+            lrt, _loglik_vectors, specs, grid, srv, has_background,
+        )
 
     # constant patterns are not fit (FEL.bf: is_constant -> zero row)
     constant = filt.constant_pattern_mask()

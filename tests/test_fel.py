@@ -55,3 +55,26 @@ class TestFELGoldens:
             "alpha", "beta", "alpha=beta", "LRT", "p-value", "Total branch length",
         ]
         assert len(j["MLE"]["content"]["0"]) == 187
+
+
+class TestResample:
+    def test_bootstrap_pvalues(self, tmp_path):
+        """FEL --resample (FEL.bf:805-820): bootstrap p-values are valid
+        probabilities with the (hits+1)/(N+1) floor, and non-significant
+        sites stay non-significant."""
+        from hyphy_tpu.utils.synth import random_tree_newick, synthetic_codon_alignment
+
+        aln = synthetic_codon_alignment(6, 20, seed=7)
+        fa = tmp_path / "fel_rs.fasta"
+        fa.write_text("".join(f">{n}\n{s}\n" for n, s in zip(aln.names, aln.sequences)))
+        tr = random_tree_newick(6, seed=7)
+        n_reps = 10
+        res = fel.run(str(fa), tree=tr, resample=n_reps, srv=True)
+        pv = res.site_table[:, 4]
+        assert ((pv > 0) & (pv <= 1)).all()
+        floor = 1.0 / (n_reps + 1)
+        nonconst = pv < 1.0
+        # every bootstrap p is a multiple of 1/(N+1)
+        mult = pv[nonconst] * (n_reps + 1)
+        assert np.allclose(mult, np.round(mult), atol=1e-9)
+        assert pv[nonconst].min() >= floor - 1e-12

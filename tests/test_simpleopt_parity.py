@@ -154,3 +154,27 @@ class TestIntermediateCodon:
         lf = LikelihoodFunction([Partition(filt, tree, model)])
         res = lf.fit(precision=1e-3)
         assert res.loglik > self.REFERENCE_MEASURED_LNL - 0.05, res.loglik
+
+
+@pytest.mark.slow
+class TestLargeNuc:
+    """GTR on HIV RT, 3112 seq x 873 nt with fixture-pinned frequencies
+    (LargeNuc.bf:3142 golden lnL -238640.66 +- 0.01)."""
+
+    def test_lnl(self):
+        path = _require(SIMPLE / "LargeNuc.bf")
+        src = open(path).read()
+        m = re.search(r"Tree givenTree=([^;]+);", src)
+        tree_str = m.group(1)
+        fm = re.search(r"overallFrequencies=\{(.*?)\}\s*;", src, re.S).group(1)
+        freqs = np.array(
+            [float(x) for x in re.findall(r"\{\s*([0-9.eE+-]+)\s*\}", fm)]
+        )
+        aln = ht.read_alignment(path)
+        filt = ht.DataFilter.from_alignment(aln, "nucleotide")
+        tree = ht.Tree.from_newick(tree_str, leaf_order=filt.names)
+        from hyphy_tpu.models.dna import GTR
+
+        lf = LikelihoodFunction([Partition(filt, tree, GTR(freqs))])
+        res = lf.fit(precision=1e-3)
+        assert res.loglik > -238640.66 - 0.05, res.loglik
