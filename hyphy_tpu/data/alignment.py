@@ -20,6 +20,10 @@ class Alignment:
     sequences: List[str]  # uppercase, gap '-'
     trees: Dict[str, str] = dataclasses.field(default_factory=dict)
     file_name: Optional[str] = None
+    # NEXUS ASSUMPTIONS/SETS CHARSET partitions: name -> 0-based site
+    # index list (reference: nexus.cpp ASSUMPTIONS block handling feeding
+    # shared-load-file.bf partition definitions)
+    charsets: Dict[str, List[int]] = dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
         lengths = {len(s) for s in self.sequences}
@@ -114,16 +118,40 @@ def parse_phylip(text: str) -> Alignment:
     return Alignment(names, seqs)
 
 
+def _parse_charset_ranges(spec: str) -> List[int]:
+    """CHARSET value -> 0-based site indices.  Supports ``a-b`` (1-based
+    inclusive), bare ``a``, ``a-.`` (to end: caller clips), and the
+    step form ``a-b\\3``."""
+    sites: List[int] = []
+    for tok in spec.replace(",", " ").split():
+        step = 1
+        if "\\" in tok:
+            tok, step_s = tok.split("\\", 1)
+            step = int(step_s)
+        if "-" in tok[1:]:  # allow leading minus-free split
+            a_s, b_s = tok.split("-", 1)
+            a = int(a_s)
+            b = 10**9 if b_s in (".", "") else int(b_s)
+            sites.extend(range(a - 1, b, step))
+        else:
+            sites.append(int(tok) - 1)
+    return sites
+
+
 def parse_nexus(text: str) -> Alignment:
     stripped = _strip_nexus_comments(text)
-    # split into BEGIN <block>; ... END; chunks
+    # split into BEGIN <block>; ... END chunks ("END" may lack the
+    # trailing ';' — e.g. the reference's partitioned.nex fixture)
     blocks = re.findall(
-        r"BEGIN\s+(\w+)\s*;(.*?)END\s*;", stripped, re.IGNORECASE | re.DOTALL
+        r"BEGIN\s+(\w+)\s*;(.*?)\bEND\b\s*;?",
+        stripped,
+        re.IGNORECASE | re.DOTALL,
     )
     taxlabels: List[str] = []
     names: List[str] = []
     seq_map: Dict[str, List[str]] = {}
     trees: Dict[str, str] = {}
+    charsets: Dict[str, List[int]] = {}
     matchchar = None
     gapchar, missingchar = "-", "?"
     for kind, body in blocks:
@@ -172,6 +200,16 @@ def parse_nexus(text: str) -> Alignment:
                     seq_map[name] = []
                     names.append(name)
                 seq_map[name].append(seq)
+        elif kind in ("ASSUMPTIONS", "SETS", "HYPHY"):
+            for m in re.finditer(
+                r"CHARSET\s+(\S+)\s*=\s*([^;]+);?", body, re.IGNORECASE
+            ):
+                try:
+                    charsets[_unquote(m.group(1))] = _parse_charset_ranges(
+                        m.group(2).strip().rstrip(";")
+                    )
+                except ValueError:
+                    continue  # non-numeric charset (e.g. by-name unions)
         elif kind == "TREES":
             for m in re.finditer(
                 r"TREE\s+(\S+)\s*=\s*(?:\[[^\]]*\]\s*)?([^;]+?)\s*(?=;|\bTREE\b|\Z)",
@@ -194,7 +232,12 @@ def parse_nexus(text: str) -> Alignment:
     seqs = [
         s.replace(gapchar.upper(), "-").replace(missingchar.upper(), "?") for s in seqs
     ]
-    return Alignment(names, seqs, trees=trees)
+    n_sites = len(seqs[0]) if seqs else 0
+    charsets = {
+        name: [s for s in sites if s < n_sites]
+        for name, sites in charsets.items()
+    }
+    return Alignment(names, seqs, trees=trees, charsets=charsets)
 
 
 def read_alignment(path_or_text: str, *, is_path: bool = True) -> Alignment:

@@ -96,12 +96,10 @@ class LikelihoodFunction:
             specs_i = part.model.parameter_specs(part.tree.n_branches)
             key_map = {}
             for name, spec in specs_i.items():
-                if spec.shape == () and len(self.partitions) > 1:
+                if len(self.partitions) == 1 or spec.is_shared():
                     key = name  # shared global
-                elif len(self.partitions) > 1:
-                    key = f"p{i}:{name}"
                 else:
-                    key = name
+                    key = f"p{i}:{name}"
                 key_map[name] = key
                 if key in self.specs and self.specs[key] != spec:
                     raise ValueError(f"conflicting specs for shared param {key}")
@@ -109,6 +107,15 @@ class LikelihoodFunction:
             self._key_maps.append(key_map)
 
     # -- compute ------------------------------------------------------------
+
+    def partition_local_params(self, params: Params, i: int) -> Dict[str, jnp.ndarray]:
+        """Map the joint parameter dict back to partition ``i``'s local
+        names (inverse of the ``pK:`` prefixing)."""
+        return {name: params[key] for name, key in self._key_maps[i].items()}
+
+    def partition_key(self, i: int, name: str) -> str:
+        """The joint-dict key for partition ``i``'s parameter ``name``."""
+        return self._key_maps[i][name]
 
     def _partition_site_logliks(self, params: Params, i: int) -> jnp.ndarray:
         part = self.partitions[i]

@@ -44,12 +44,33 @@ class BUSTEDResult:
     mg94: common.MG94Fit
 
 
-def _distribution_specs(prefix: str, k: int) -> Specs:
-    """BS_REL omega distribution: omega_1..k-1 in [0,1], omega_k >= 1."""
+def _distribution_specs(
+    prefix: str,
+    k: int,
+    error_sink: bool = False,
+    error_sink_bound: float = 100.0,
+    error_sink_weight: float = 0.01,
+) -> Specs:
+    """BS_REL omega distribution: omega_1..k-1 in [0,1], omega_k >= 1.
+
+    ``error_sink`` adds class 0 — high dN/dS (>= ``error_sink_bound``),
+    tiny weight (<= ``error_sink_weight``) — that absorbs misalignment
+    artifacts; the positive class is then capped at the error bound
+    (reference ``BUSTED.bf:196-226``: error_class_range/terms.range_high,
+    positive_class_range upper := error bound)."""
     specs = {}
+    pos_upper = 10000.0
+    if error_sink:
+        specs[f"{prefix}_omega_0"] = ParamSpec(
+            init=2.0 * error_sink_bound, lower=error_sink_bound, upper=1e6
+        )
+        specs[f"{prefix}_w_0"] = ParamSpec(
+            init=min(1e-4, error_sink_weight), lower=0.0, upper=error_sink_weight
+        )
+        pos_upper = error_sink_bound
     for i in range(1, k):
         specs[f"{prefix}_omega_{i}"] = ParamSpec(init=0.1 * i, lower=0.0, upper=1.0)
-    specs[f"{prefix}_omega_{k}"] = ParamSpec(init=1.5, lower=1.0, upper=10000.0)
+    specs[f"{prefix}_omega_{k}"] = ParamSpec(init=1.5, lower=1.0, upper=pos_upper)
     for i in range(1, k):
         specs[f"{prefix}_w_{i}"] = ParamSpec(init=0.7 if i == 1 else 0.75, lower=0.0, upper=1.0)
     return specs
@@ -91,6 +112,11 @@ def run(
     seed: int = 1,
     save_fit: Optional[str] = None,
     srv_hmm: bool = False,
+    srv_branchsite: bool = False,
+    multiple_hits: str = "None",
+    error_sink: bool = False,
+    error_sink_bound: float = 100.0,
+    error_sink_weight: float = 0.01,
 ) -> BUSTEDResult:
     """``save_fit``: path for a full-model snapshot — written after the
     unconstrained fit and reused (skipping that fit) on reruns against the
@@ -102,9 +128,31 @@ def run(
     ``srv_lambda``) instead of mixing independently per site — the
     reference's HMM SRV option (BUSTED.bf:137-158; engine
     ``SumUpHiddenMarkov``, likefunc2.cpp:1166).  The fitted Viterbi class
-    path is reported under "Site Log Likelihood"/"hmm path"."""
-    if srv_hmm:
+    path is reported under "Site Log Likelihood"/"hmm path".
+
+    ``srv_branchsite``: SRV mode "Branch-site" (BUSTED.bf:137-141,
+    models.codon.BS_REL_SRV): both the omega class and the synonymous rate
+    class are drawn independently per branch-site, so the K x C product
+    mixture folds into each branch's transition matrix.
+
+    ``multiple_hits``: "Double" or "Double+Triple" adds global delta
+    (psi) rates for 2 (3)-nucleotide instantaneous changes to every
+    mixture component (reference --multiple-hits, BUSTED.bf:160-166,
+    model BUSTED.bf:329-352; golden BUSTED-MH.wbf).
+
+    ``error_sink``: adds the BUSTED-E misalignment-absorbing class
+    (omega >= error_sink_bound, weight <= error_sink_weight; reference
+    --error-sink, BUSTED.bf:196-226)."""
+    if srv_hmm or srv_branchsite:
         srv = True
+    mh = multiple_hits not in (None, "None", "")
+    triple = multiple_hits == "Double+Triple"
+    if srv_branchsite and (mh or error_sink or srv_hmm):
+        # reference asserts the same incompatibilities (BUSTED.bf:393-394)
+        raise ValueError(
+            "branch-site SRV cannot combine with multiple-hits, "
+            "error-sink, or HMM SRV"
+        )
     data = common.load_codon_data(alignment, genetic_code, tree, branches)
     gtr = common.fit_gtr(data, precision=1e-5)
     mg = common.fit_partitioned_mg94(data, gtr, precision=1e-5)
@@ -119,27 +167,51 @@ def run(
 
     mg94 = MG94Base(gc, mg.corner_freqs, mg.codon_freqs)
     pdata = pruning.build_pruning_data(data.tree)
+
+    if mh:
+        def basis_fn(params):
+            q1s, q1n = mg94.basis_matrices(params)
+            q2s, q2n = mg94.multihit_basis_matrices(params, 2)
+            qs = q1s + params["delta"] * q2s
+            qn = q1n + params["delta"] * q2n
+            if triple:
+                q3s, q3n = mg94.multihit_basis_matrices(params, 3)
+                qs = qs + params["psi"] * q3s
+                qn = qn + params["psi"] * q3n
+            return qs, qn
+    else:
+        basis_fn = None
+
     engine = BSRELEngine(
         mg94, pdata, jnp.asarray(filt.leaf_partials()),
-        filt.pattern_weights, group_of_branch, c_srv,
+        filt.pattern_weights, group_of_branch, c_srv, basis_fn=basis_fn,
     )
 
     # -- parameter space ----------------------------------------------------
     specs: Specs = dict(MG94Base.theta_specs())
-    specs.update(_distribution_specs("test", k))
+    specs.update(_distribution_specs(
+        "test", k, error_sink, error_sink_bound, error_sink_weight
+    ))
     if has_background:
-        specs.update(_distribution_specs("bkg", k))
+        specs.update(_distribution_specs(
+            "bkg", k, error_sink, error_sink_bound, error_sink_weight
+        ))
     if srv:
         specs.update(_srv_specs(c_srv))
     if srv_hmm:
         specs["srv_lambda"] = ParamSpec(init=0.2, lower=1e-4, upper=1.0 - 1e-4)
+    if mh:
+        # reference rate bounds: delta/psi in [0, 100] (MG_REV_MH.bf)
+        specs["delta"] = ParamSpec(init=0.05, lower=0.0, upper=100.0)
+        if triple:
+            specs["psi"] = ParamSpec(init=0.05, lower=0.0, upper=100.0)
     specs["t"] = ParamSpec(init=0.1, lower=0.0, upper=10000.0,
                            shape=(data.tree.n_branches,))
 
     def unpack(params):
-        om_t, w_t = omega_distribution(params, "test", k)
+        om_t, w_t = omega_distribution(params, "test", k, error_sink)
         if has_background:
-            om_b, w_b = omega_distribution(params, "bkg", k)
+            om_b, w_b = omega_distribution(params, "bkg", k, error_sink)
             omegas = jnp.stack([om_t, om_b])
             weights = jnp.stack([w_t, w_b])
         else:
@@ -163,16 +235,30 @@ def run(
             )
             trans = hmm_ops.uniform_switching_matrix(c_srv, params["srv_lambda"])
             return hmm_ops.forward_log_likelihood(class_sll, dup_map, trans, wsrv)
+    elif srv_branchsite:
+        def loglik(params):
+            omegas, weights, rates, wsrv = unpack(params)
+            sll = engine.branchsite_srv_site_log_likelihoods(
+                params, omegas, weights, params["t"], rates, wsrv
+            )
+            return jnp.dot(sll, engine.pattern_weights)
     else:
         def loglik(params):
             omegas, weights, rates, wsrv = unpack(params)
             return engine.loglik(params, omegas, weights, params["t"], rates, wsrv)
 
-    def site_logliks(params):
-        omegas, weights, rates, wsrv = unpack(params)
-        return engine.site_log_likelihoods(
-            params, omegas, weights, params["t"], rates, wsrv
-        )
+    if srv_branchsite:
+        def site_logliks(params):
+            omegas, weights, rates, wsrv = unpack(params)
+            return engine.branchsite_srv_site_log_likelihoods(
+                params, omegas, weights, params["t"], rates, wsrv
+            )
+    else:
+        def site_logliks(params):
+            omegas, weights, rates, wsrv = unpack(params)
+            return engine.site_log_likelihoods(
+                params, omegas, weights, params["t"], rates, wsrv
+            )
 
     # -- initial values -----------------------------------------------------
     base_init = {k2: jnp.asarray(v) for k2, v in mg.params.items() if k2.startswith("theta")}
@@ -186,14 +272,21 @@ def run(
         for name, spec in specs.items():
             if name in cand:
                 continue
-            if name.endswith("_omega_" + str(k)):
-                cand[name] = jnp.asarray(1.0 + rng.exponential(max(mean_omega, 0.5)))
+            if name.endswith("_omega_0"):  # error-sink class
+                cand[name] = jnp.asarray(rng.uniform(error_sink_bound, 10 * error_sink_bound))
+            elif name.endswith("_w_0"):
+                cand[name] = jnp.asarray(rng.uniform(0.0, 0.5 * error_sink_weight))
+            elif name.endswith("_omega_" + str(k)):
+                hi = 1.0 + rng.exponential(max(mean_omega, 0.5))
+                cand[name] = jnp.asarray(min(hi, spec.upper - 1e-6))
             elif "_omega_" in name:
                 cand[name] = jnp.asarray(rng.uniform(0.0, min(1.0, max(mean_omega, 0.2))))
             elif "_w_" in name or name.startswith("srv_w"):
                 cand[name] = jnp.asarray(rng.uniform(0.05, 0.95))
             elif name.startswith("srv_rate"):
                 cand[name] = jnp.asarray(rng.uniform(0.2, 2.0))
+            elif name in ("delta", "psi"):
+                cand[name] = jnp.asarray(rng.uniform(0.01, 0.5))
             else:
                 cand[name] = spec.initial()
         candidates.append(cand)
@@ -277,13 +370,24 @@ def run(
     er_constrained = np.exp(sll_alt - sll_con)
 
     omegas, weights, rates, wsrv = unpack(alt_params)
+    n_classes = int(omegas.shape[1])  # k, or k+1 with the error sink
     rate_dists = {
-        "Test": [[float(omegas[0, i]), float(weights[0, i])] for i in range(k)],
+        "Test": [[float(omegas[0, i]), float(weights[0, i])] for i in range(n_classes)],
     }
     if has_background:
         rate_dists["Background"] = [
-            [float(omegas[1, i]), float(weights[1, i])] for i in range(k)
+            [float(omegas[1, i]), float(weights[1, i])] for i in range(n_classes)
         ]
+    if mh:
+        mh_rates = {
+            "rate at which 2 nucleotides are changed instantly within a single codon":
+                float(alt_params["delta"]),
+        }
+        if triple:
+            mh_rates[
+                "rate at which 3 nucleotides are changed instantly within a single codon"
+            ] = float(alt_params["psi"])
+        rate_dists["Multiple hit rates"] = mh_rates
     if srv:
         rate_dists["Synonymous site-to-site rates"] = [
             [float(rates[i]), float(wsrv[i])] for i in range(c_srv)

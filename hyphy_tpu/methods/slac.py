@@ -15,7 +15,7 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from hyphy_tpu.io.json_out import analysis_json, model_fit_entry
+from hyphy_tpu.io.json_out import analysis_json_parts, model_fit_entry
 from hyphy_tpu.methods import common
 from hyphy_tpu.methods.counting import (
     extended_binomial_tail,
@@ -192,100 +192,117 @@ def run(
     drawn from the joint ancestral posterior ``samples`` times, counts are
     recomputed per draw, and per-site medians / 2.5% / 97.5% quantiles are
     reported (reference ``slac.handle_a_sample``, SLAC.bf:327; JSON keys
-    SLAC.bf:107-109)."""
-    data = common.load_codon_data(alignment, genetic_code, tree, branches)
-    gtr = common.fit_gtr(data, precision=precision)
+    SLAC.bf:107-109).
+
+    NEXUS CHARSET partitions run per-partition under one joint MG94 fit
+    (golden: ``SLAC-partitioned.wbf``, lnL -5453.42)."""
+    md = common.load_codon_data_multi(alignment, genetic_code, tree, branches)
+    gtr = common.fit_gtr_multi(md, precision=precision)
+    md, gtr = common.kill_zero_branches_multi(md, gtr, branches)
     # SLAC reports the proportional (stage-1) MG94 fit (lnL -3467.319 golden)
-    mg = common.fit_partitioned_mg94(data, gtr, precision=precision, refit_lengths=False)
-
-    filt = data.codon_filter
-    model = mg.model
-    out = model.build({k: jnp.asarray(v) for k, v in mg.params.items()}, data.tree.n_branches)
-    pdata = pruning.build_pruning_data(data.tree)
-    lp = jnp.asarray(filt.leaf_partials())
-    joint = ancestral.joint_reconstruct(out.p_matrices, lp, out.root_freqs, pdata)
-
-    leaf_states = _leaf_state_coding(filt)
-    all_states = np.concatenate(
-        [leaf_states, np.asarray(joint.internal_states)], axis=0
+    mg = common.fit_partitioned_mg94_multi(
+        md, gtr, precision=precision, refit_lengths=False
     )
 
-    w = slac_weighting_matrix(
-        {k: float(v) for k, v in mg.params.items() if k.startswith("theta")},
-        gtr.frequencies,
-    )
-    counts = pairwise_counts(data.genetic_code, [w, w, w])
-
-    resolved, averaged = compute_counts(
-        all_states, filt.resolution_table, data.tree.parent,
-        mg.branch_lengths, data.tested_branches, counts,
-        filt.duplicate_map, filt.n_sequences,
-    )
-
-    sample_blocks = {}
-    if samples > 0:
-        rng = np.random.default_rng(seed)
-        drawn = ancestral.sample_ancestors(
-            out.p_matrices, lp, out.root_freqs, pdata,
-            data.tree.children, samples, rng,
+    content = {}
+    sample_content = {k: {} for k in ("sample-median", "sample-2.5", "sample-97.5")}
+    first = None
+    for p_idx, (data, mgp) in enumerate(zip(md.parts, mg.parts)):
+        filt = data.codon_filter
+        model = mgp.model
+        out = model.build(
+            {k: jnp.asarray(v) for k, v in mgp.params.items()},
+            data.tree.n_branches,
         )
-        per_sample = []
-        for s in range(samples):
-            st = np.concatenate([leaf_states, drawn[s]], axis=0)
-            res_s, _ = compute_counts(
-                st, filt.resolution_table, data.tree.parent,
-                mg.branch_lengths, data.tested_branches, counts,
-                filt.duplicate_map, filt.n_sequences,
-            )
-            per_sample.append(res_s)
-        stacked = np.stack(per_sample)          # [samples, sites, cols]
-        sample_blocks = {
-            "sample-median": np.median(stacked, axis=0),
-            "sample-2.5": np.percentile(stacked, 2.5, axis=0),
-            "sample-97.5": np.percentile(stacked, 97.5, axis=0),
-        }
+        pdata = pruning.build_pruning_data(data.tree)
+        lp = jnp.asarray(filt.leaf_partials())
+        joint = ancestral.joint_reconstruct(out.p_matrices, lp, out.root_freqs, pdata)
 
-    json = analysis_json(
+        leaf_states = _leaf_state_coding(filt)
+        all_states = np.concatenate(
+            [leaf_states, np.asarray(joint.internal_states)], axis=0
+        )
+
+        w = slac_weighting_matrix(
+            {k: float(v) for k, v in mgp.params.items() if k.startswith("theta")},
+            gtr.parts[p_idx].frequencies,
+        )
+        counts = pairwise_counts(data.genetic_code, [w, w, w])
+
+        resolved, averaged = compute_counts(
+            all_states, filt.resolution_table, data.tree.parent,
+            mgp.branch_lengths, data.tested_branches, counts,
+            filt.duplicate_map, filt.n_sequences,
+        )
+        content[str(p_idx)] = {
+            "by-site": {
+                "RESOLVED": resolved.tolist(),
+                "AVERAGED": averaged.tolist(),
+            }
+        }
+        if first is None:
+            first = (data, resolved, averaged, all_states)
+
+        if samples > 0:
+            rng = np.random.default_rng(seed + p_idx)
+            drawn = ancestral.sample_ancestors(
+                out.p_matrices, lp, out.root_freqs, pdata,
+                data.tree.children, samples, rng,
+            )
+            per_sample = []
+            for s in range(samples):
+                st = np.concatenate([leaf_states, drawn[s]], axis=0)
+                res_s, _ = compute_counts(
+                    st, filt.resolution_table, data.tree.parent,
+                    mgp.branch_lengths, data.tested_branches, counts,
+                    filt.duplicate_map, filt.n_sequences,
+                )
+                per_sample.append(res_s)
+            stacked = np.stack(per_sample)      # [samples, sites, cols]
+            for key, tbl in (
+                ("sample-median", np.median(stacked, axis=0)),
+                ("sample-2.5", np.percentile(stacked, 2.5, axis=0)),
+                ("sample-97.5", np.percentile(stacked, 97.5, axis=0)),
+            ):
+                sample_content[key][str(p_idx)] = {
+                    "by-site": {"RESOLVED": tbl.tolist()}
+                }
+
+    data0, resolved0, averaged0, states0 = first
+    json = analysis_json_parts(
         info="SLAC (Single Likelihood Ancestor Counting) uses a maximum likelihood "
              "ancestral state reconstruction and counting approach",
         version="2.00",
-        data=data,
+        md=md,
         fits={
             "Nucleotide GTR": model_fit_entry(
-                gtr.loglik, gtr.n_parameters, data.sample_size,
-                frequencies=gtr.frequencies, display_order=0,
+                gtr.loglik, gtr.n_parameters, md.sample_size,
+                frequencies=gtr.parts[0].frequencies, display_order=0,
             ),
             "Global MG94xREV": model_fit_entry(
-                mg.loglik, mg.n_parameters, data.sample_size,
-                frequencies=mg.codon_freqs, display_order=1,
+                mg.loglik, mg.n_parameters, md.sample_size,
+                frequencies=mg.parts[0].codon_freqs, display_order=1,
                 rate_distributions={
                     f"non-synonymous/synonymous rate ratio for *{name}*":
                         [[float(mg.omegas[g]), 1.0]]
-                    for g, name in enumerate(data.group_names)
+                    for g, name in enumerate(data0.group_names)
                 },
             ),
         },
         extra={
             "MLE": {
                 "headers": [[c[0], c[1]] for c in COLUMNS],
-                "content": {
-                    "0": {
-                        "by-site": {
-                            "RESOLVED": resolved.tolist(),
-                            "AVERAGED": averaged.tolist(),
-                        },
-                    }
-                },
+                "content": content,
             },
-            **{
-                key: {"0": {"by-site": {"RESOLVED": tbl.tolist()}}}
-                for key, tbl in sample_blocks.items()
-            },
+            **(
+                {key: blk for key, blk in sample_content.items() if blk}
+                if samples > 0 else {}
+            ),
         },
     )
     return SLACResult(
         json=json,
-        by_site={"RESOLVED": resolved, "AVERAGED": averaged},
-        data=data, gtr=gtr, mg94=mg,
-        ancestor_states=all_states,
+        by_site={"RESOLVED": resolved0, "AVERAGED": averaged0},
+        data=data0, gtr=gtr.parts[0], mg94=mg.parts[0],
+        ancestor_states=states0,
     )

@@ -33,13 +33,18 @@ from hyphy_tpu.ops import expm as expm_ops
 from hyphy_tpu.ops import pruning
 
 
-def omega_distribution(params: Dict, prefix: str, k: int):
-    """(omegas [k], weights [k]) from params ``{prefix}_omega_i`` and
-    stick-breaking fractions ``{prefix}_w_i``."""
-    omegas = jnp.stack([params[f"{prefix}_omega_{i}"] for i in range(1, k + 1)])
-    if k == 1:
+def omega_distribution(params: Dict, prefix: str, k: int, error_sink: bool = False):
+    """(omegas [k(+1)], weights [k(+1)]) from params ``{prefix}_omega_i``
+    and stick-breaking fractions ``{prefix}_w_i``.
+
+    ``error_sink`` prepends class 0 — the BUSTED-E misalignment-absorber
+    (omega >= 100, weight <= 0.01; reference ``BUSTED.bf:196-226``, class
+    index 0 in ``busted.init_grid_setup``)."""
+    lo = 0 if error_sink else 1
+    omegas = jnp.stack([params[f"{prefix}_omega_{i}"] for i in range(lo, k + 1)])
+    if omegas.shape[0] == 1:
         return omegas, jnp.ones((1,))
-    fracs = jnp.stack([params[f"{prefix}_w_{i}"] for i in range(1, k)])
+    fracs = jnp.stack([params[f"{prefix}_w_{i}"] for i in range(lo, k)])
     return omegas, stick_breaking_weights(fracs)
 
 
@@ -71,7 +76,12 @@ class BSRELEngine:
         pattern_weights: jnp.ndarray,
         group_of_branch: np.ndarray,    # [B] int
         srv_classes: int = 1,
+        basis_fn=None,
     ):
+        """``basis_fn(params) -> (q_syn, q_nonsyn)`` overrides the plain
+        one-step MG94 bases — the BUSTED --multiple-hits options add
+        delta/psi-scaled 2/3-hit entries (``BUSTED.bf:329-352`` via
+        ``MG_REV_MH._GenerateRate_generic``)."""
         self.model = mg94
         self.pdata = pdata
         self.leaf_partials = leaf_partials
@@ -80,6 +90,7 @@ class BSRELEngine:
         self.n_groups = int(group_of_branch.max()) + 1
         self.srv_classes = srv_classes
         self.freqs = mg94.frequencies
+        self.basis_fn = basis_fn or mg94.basis_matrices
 
     def mixture_propagators(self, params, omegas, weights, times):
         """P_mix [C, B, S, S] for srv-scaled times.
@@ -87,7 +98,7 @@ class BSRELEngine:
         omegas/weights: [G, K]; times: [C, B] (srv rate x branch time).
         """
         g, k = omegas.shape
-        q_syn, q_non = self.model.basis_matrices(params)
+        q_syn, q_non = self.basis_fn(params)
         m = fill_diagonal_from_rows(
             q_syn[None] + omegas.reshape(g * k)[:, None, None] * q_non[None]
         )                                                       # [G*K, S, S]
@@ -104,6 +115,51 @@ class BSRELEngine:
         p_mix = jnp.einsum("bkij,cbkj,bkjl->cbil", left, el, right)
         p_mix = jnp.maximum(p_mix, 0.0)
         return expm_ops.row_renormalize(p_mix)
+
+    def branchsite_srv_propagators(
+        self, params, omegas, weights, t_b, srv_rates, srv_weights
+    ):
+        """P_b [B, S, S] when BOTH the omega class and the synonymous rate
+        class are drawn independently per branch-site (the reference's
+        "Branch-site" SRV mode, ``models.codon.BS_REL_SRV`` selected at
+        ``BUSTED.bf:393``): the mixture over the K x C product distribution
+        happens inside each branch matrix, and pruning runs once (no
+        site-level outer mixture)."""
+        g, k = omegas.shape
+        c = srv_rates.shape[0]
+        q_syn, q_non = self.basis_fn(params)
+        m = fill_diagonal_from_rows(
+            q_syn[None] + omegas.reshape(g * k)[:, None, None] * q_non[None]
+        )                                                        # [G*K, S, S]
+        left, lam, right = expm_ops.reversible_spectral(m, self.freqs)
+        s = m.shape[-1]
+        left = left.reshape(g, k, s, s)[self.group_of_branch]    # [B,K,S,S]
+        right = right.reshape(g, k, s, s)[self.group_of_branch]
+        lam_b = lam.reshape(g, k, s)[self.group_of_branch]       # [B,K,S]
+        w_b = weights[self.group_of_branch]                      # [B,K]
+        # scaled spectral factors summed over both class axes:
+        # el[b,k,s] = sum_c wsrv_c exp(lam[b,k,s] * r_c * t_b)  (then the
+        # omega-class weights fold in as in the independent-SRV path)
+        t_scaled = srv_rates[:, None] * t_b[None, :]             # [C, B]
+        el = jnp.einsum(
+            "c,cbks->bks",
+            srv_weights,
+            jnp.exp(lam_b[None] * t_scaled[:, :, None, None]),
+        )
+        el = el * w_b[:, :, None]                                # [B,K,S]
+        p = jnp.einsum("bkij,bkj,bkjl->bil", left, el, right)
+        p = jnp.maximum(p, 0.0)
+        return expm_ops.row_renormalize(p)
+
+    def branchsite_srv_site_log_likelihoods(
+        self, params, omegas, weights, t_b, srv_rates, srv_weights
+    ):
+        p = self.branchsite_srv_propagators(
+            params, omegas, weights, t_b, srv_rates, srv_weights
+        )
+        return pruning.site_log_likelihoods(
+            p, self.leaf_partials, self.freqs, self.pdata
+        )
 
     def class_site_log_likelihoods(self, params, omegas, weights, t_b, srv_rates):
         """[C, patterns] per-synonymous-rate-class site log-likelihoods —

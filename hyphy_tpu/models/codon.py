@@ -255,15 +255,17 @@ class MG94Base(SubstitutionModel):
                     th[k] = _PAIR_INDEX[x + y]
                     mult *= corner[nb[p], p]
                 out[d].append((a, b, th, mult, trans[ca] == trans[cb]))
+        # cache plain numpy (NOT jnp): device constants created while
+        # tracing are tracers and must not outlive the trace
         tables = {}
         for d in (2, 3):
             rows = out[d]
             tables[d] = dict(
-                pair_i=jnp.asarray(np.array([r[0] for r in rows], dtype=np.int32)),
-                pair_j=jnp.asarray(np.array([r[1] for r in rows], dtype=np.int32)),
-                theta_idx=jnp.asarray(np.array([r[2] for r in rows], dtype=np.int32)),
-                multiplier=jnp.asarray(np.array([r[3] for r in rows])),
-                syn=jnp.asarray(np.array([float(r[4]) for r in rows])),
+                pair_i=np.array([r[0] for r in rows], dtype=np.int32),
+                pair_j=np.array([r[1] for r in rows], dtype=np.int32),
+                theta_idx=np.array([r[2] for r in rows], dtype=np.int32),
+                multiplier=np.array([r[3] for r in rows]),
+                syn=np.array([float(r[4]) for r in rows]),
             )
         self._mh_tables = tables
         return tables
@@ -423,11 +425,16 @@ class MG94xREVPartitionedOmega(MG94Base):
 
     def parameter_specs(self, n_branches: int) -> Specs:
         specs = self.theta_parameter_specs()
-        specs["omega"] = ParamSpec(init=0.25, lower=0.0, upper=10000.0, shape=(self.n_groups,))
+        # omega is shared across partitions in a joint fit (the reference's
+        # single global omega, doPartitionedMG); the branch-length scaler is
+        # per-partition (scaler_prefix_k, shared-load-file.bf:716)
+        specs["omega"] = ParamSpec(
+            init=0.25, lower=0.0, upper=10000.0, shape=(self.n_groups,), shared=True
+        )
         if self.free_lengths:
             specs["alpha"] = ParamSpec(init=0.15, lower=0.0, upper=10000.0, shape=(n_branches,))
         else:
-            specs["scaler"] = ParamSpec(init=3.0, lower=0.0, upper=10000.0)
+            specs["scaler"] = ParamSpec(init=3.0, lower=0.0, upper=10000.0, shared=False)
         return specs
 
     def _alphas(self, params: Params) -> jnp.ndarray:

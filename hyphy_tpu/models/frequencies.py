@@ -26,9 +26,27 @@ from hyphy_tpu.models.parameters import ParamSpec, initial_params
 from hyphy_tpu.optimize.core import maximize
 
 
-def empirical_nucleotide(filt: DataFilter) -> np.ndarray:
-    """4x1 pooled nucleotide frequencies (GTR's estimator)."""
-    return filt.harvest_frequencies(1, 1, False)[:, 0]
+def _combined_harvest(filts, unit: int, atom: int, position_specific: bool) -> np.ndarray:
+    """Frequency harvest over one filter or a list of them.  Multiple
+    filters (multi-partition analyses) pool their counts weighted by
+    column count — the reference defines ONE model whose frequencies are
+    harvested across all partition filters (``estimators.CreateLFObject``,
+    ``estimators.bf:982``)."""
+    if isinstance(filts, DataFilter):
+        return filts.harvest_frequencies(unit, atom, position_specific)
+    total, weight = None, 0.0
+    for f in filts:
+        w = float(f.n_units * f.n_sequences)
+        h = f.harvest_frequencies(unit, atom, position_specific) * w
+        total = h if total is None else total + h
+        weight += w
+    return total / max(weight, 1e-300)
+
+
+def empirical_nucleotide(filt) -> np.ndarray:
+    """4x1 pooled nucleotide frequencies (GTR's estimator).  Accepts one
+    DataFilter or a list (multi-partition pooling)."""
+    return _combined_harvest(filt, 1, 1, False)[:, 0]
 
 
 def empirical_character(filt: DataFilter) -> np.ndarray:
@@ -53,9 +71,9 @@ def _codon_from_corners(corners: np.ndarray, gc: GeneticCode) -> np.ndarray:
     return pi
 
 
-def f3x4(filt: DataFilter, gc: GeneticCode) -> Tuple[np.ndarray, np.ndarray]:
+def f3x4(filt, gc: GeneticCode) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (corner_freqs [4,3], codon_freqs [n_sense])."""
-    obs = filt.harvest_frequencies(3, 1, True)  # [4, 3]
+    obs = _combined_harvest(filt, 3, 1, True)  # [4, 3]
     return obs, _codon_from_corners(obs, gc)
 
 
@@ -82,7 +100,7 @@ def _stick_init(freqs: np.ndarray) -> np.ndarray:
     return p
 
 
-def cf3x4(filt: DataFilter, gc: GeneticCode) -> Tuple[np.ndarray, np.ndarray]:
+def cf3x4(filt, gc: GeneticCode) -> Tuple[np.ndarray, np.ndarray]:
     """Corrected F3x4: returns (corner_freqs n [4,3], codon_freqs [n_sense]).
 
     Solves the least-squares problem of ``frequencies._aux.CF3x4``
@@ -90,7 +108,7 @@ def cf3x4(filt: DataFilter, gc: GeneticCode) -> Tuple[np.ndarray, np.ndarray]:
     position-specific frequencies of the *sense-codon-conditioned* process
     match the observed 3x4 table.
     """
-    obs = filt.harvest_frequencies(3, 1, True)  # [4, 3] observed
+    obs = _combined_harvest(filt, 3, 1, True)  # [4, 3] observed
     stops = gc.stop_codons
     s0, s1, s2 = stops // 16, (stops // 4) % 4, stops % 4
 

@@ -27,9 +27,19 @@ class ParamSpec:
     lower: float = 0.0
     upper: float = DEFAULT_UPPER
     shape: Tuple[int, ...] = ()
+    # Cross-partition sharing in a multi-partition LikelihoodFunction:
+    # None = default rule (scalars shared, vectors per-partition);
+    # True/False overrides it (reference: same-named global variables are
+    # shared across partitions, e.g. the joint omega of doPartitionedMG,
+    # while the per-partition branch-length scalers are not,
+    # shared-load-file.bf:716).
+    shared: "bool | None" = None
 
     def initial(self) -> jnp.ndarray:
         return jnp.full(self.shape, self.init, dtype=jnp.float64)
+
+    def is_shared(self) -> bool:
+        return self.shared if self.shared is not None else self.shape == ()
 
 
 Specs = Dict[str, ParamSpec]

@@ -63,8 +63,20 @@ class Tree:
             by_name = {lf.name: lf for lf in leaves}
             missing = [nm for nm in leaf_order if nm not in by_name]
             if missing:
+                # retry against HyPhy-normalized tip names (non-alphanumeric
+                # -> '_', the same mapping applied to sequence names;
+                # reference: alignments.bf name normalization)
+                import re as _re
+
+                for lf in leaves:
+                    norm = _re.sub(r"[^a-zA-Z0-9]", "_", lf.name)
+                    if norm not in by_name:
+                        by_name[norm] = lf
+                        lf.name = norm
+                missing = [nm for nm in leaf_order if nm not in by_name]
+            if missing:
                 raise ValueError(f"tree is missing taxa: {missing[:5]}")
-            extra = set(by_name) - set(leaf_order)
+            extra = {lf.name for lf in leaves} - set(leaf_order)
             if extra:
                 raise ValueError(f"tree has extra taxa: {sorted(extra)[:5]}")
             leaves = [by_name[nm] for nm in leaf_order]
@@ -161,6 +173,67 @@ class Tree:
             if lbl and lbl not in seen:
                 seen.append(lbl)
         return seen
+
+    # -- topology edits -----------------------------------------------------
+
+    def collapse_internal_branches(self, branch_ids: Sequence[int]) -> "Tree":
+        """New tree with the given INTERNAL branches removed: each dropped
+        node's children reattach to its (nearest surviving) parent —
+        polytomies form where branches vanish.
+
+        Reference: ``trees.KillZeroBranches`` (``libv3/tasks/trees.bf:499``)
+        / the Topology ``T - branches`` delete operator — applied by
+        ``shared-load-file.bf:515`` to internal branches whose GTR length
+        is < 1e-10 before the codon stages.
+        """
+        drop = {int(b) for b in branch_ids}
+        for b in drop:
+            if b < self.n_leaves or b >= self.n_branches:
+                raise ValueError(f"branch {b} is not an internal branch")
+        if not drop:
+            return self
+        keep = [n for n in range(self.n_nodes) if n not in drop]
+        new_id = {old: i for i, old in enumerate(keep)}
+
+        def live_parent(n: int) -> int:
+            p = int(self.parent[n])
+            while p in drop:
+                p = int(self.parent[p])
+            return p
+
+        n_new = len(keep)
+        parent = np.full(n_new, -1, dtype=np.int32)
+        children: List[List[int]] = [[] for _ in range(n_new)]
+        # preserve child order: walk each surviving internal node's children
+        # expanding dropped children in place
+        for old in keep:
+            if old < self.n_leaves:
+                continue
+
+            def expand(c: int) -> List[int]:
+                if c in drop:
+                    out: List[int] = []
+                    for cc in self.children[c]:
+                        out.extend(expand(cc))
+                    return out
+                return [c]
+
+            kids: List[int] = []
+            for c in self.children[old]:
+                kids.extend(expand(c))
+            me = new_id[old]
+            children[me] = [new_id[c] for c in kids]
+            for c in kids:
+                parent[new_id[c]] = me
+        return Tree(
+            names=[self.names[n] for n in keep],
+            parent=parent,
+            children=children,
+            n_leaves=self.n_leaves,
+            input_lengths=np.array([self.input_lengths[n] for n in keep]),
+            labels=[self.labels[n] for n in keep],
+            newick_string="",
+        )
 
     # -- export -------------------------------------------------------------
 
