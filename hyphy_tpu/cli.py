@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pvalue", type=float, default=0.1)
     p.add_argument("--resample", type=int, default=0,
                    help="parametric-bootstrap replicates for per-site p-values")
+    p.add_argument("--multiple-hits", dest="multiple_hits", default="None",
+                   choices=["None", "Double", "Double+Triple"])
+    p.add_argument("--site-multihit", dest="site_multihit", default="Estimate",
+                   choices=["Estimate", "Global"])
+    p.add_argument("--ci", default="No",
+                   help="profile-likelihood confidence intervals on site dN/dS")
 
     p = sub.add_parser("slac", help="Single-Likelihood Ancestor Counting")
     common_args(p)
@@ -50,6 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
     common_args(p)
     p.add_argument("--branches", default="All")
     p.add_argument("--pvalue", type=float, default=0.1)
+    p.add_argument("--rates", type=int, default=2,
+                   help="number of omega rate classes [2-4]")
+    p.add_argument("--resample", type=int, default=0,
+                   help="parametric-bootstrap replicates for per-site p-values")
+    p.add_argument("--multiple-hits", dest="multiple_hits", default="None",
+                   choices=["None", "Double", "Double+Triple"])
+    p.add_argument("--site-multihit", dest="site_multihit", default="Estimate",
+                   choices=["Estimate", "Global"])
 
     p = sub.add_parser("fubar", help="Fast Unconstrained Bayesian AppRoximation")
     common_args(p)
@@ -70,6 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--starting-points", dest="starting_points", type=int, default=1)
     p.add_argument("--save-fit", dest="save_fit", default=None,
                    help="cache the unconstrained-model fit at this path and reuse it on reruns")
+    p.add_argument("--multiple-hits", dest="multiple_hits", default="None",
+                   choices=["None", "Double", "Double+Triple"])
+    p.add_argument("--error-sink", dest="error_sink", action="store_true",
+                   help="add the BUSTED-E misalignment-absorbing class")
+    p.add_argument("--srv-branchsite", dest="srv_branchsite", action="store_true",
+                   help="branch-site synonymous rate variation")
 
     p = sub.add_parser("relax", help="Relaxation of selection test")
     common_args(p)
@@ -82,6 +102,8 @@ def build_parser() -> argparse.ArgumentParser:
     common_args(p)
     p.add_argument("--branches", default="All")
     p.add_argument("--pvalue", type=float, default=0.05)
+    p.add_argument("--multiple-hits", dest="multiple_hits", default="None",
+                   choices=["None", "Double", "Double+Triple"])
 
     p = sub.add_parser("contrast-fel", help="Tests for different selective pressures between branch sets")
     common_args(p)
@@ -90,6 +112,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--srv", default="Yes")
     p.add_argument("--pvalue", type=float, default=0.05)
     p.add_argument("--qvalue", type=float, default=0.20)
+
+    p = sub.add_parser("contrast-meme", help="Tests for different episodic selective pressures between branch sets")
+    common_args(p)
+    p.add_argument("--branch-set", dest="branch_sets", action="append",
+                   default=None, help="tested branch label (repeatable)")
+    p.add_argument("--srv", default="Yes")
+    p.add_argument("--pvalue", type=float, default=0.05)
+    p.add_argument("--qvalue", type=float, default=0.20)
+    p.add_argument("--permutations", type=int, default=0,
+                   help="permutation replicates for sites passing the LRT screen")
 
     p = sub.add_parser("gard", help="Genetic Algorithm for Recombination Detection")
     p.add_argument("--alignment", required=True)
@@ -155,7 +187,10 @@ def main(argv=None) -> int:
         from hyphy_tpu.methods import fel as mod
         result = mod.run(args.alignment, args.code, tree, args.branches,
                          srv=_bool(args.srv), pvalue=args.pvalue,
-                         resample=args.resample)
+                         resample=args.resample,
+                         multiple_hits=args.multiple_hits,
+                         site_multihit=args.site_multihit,
+                         ci=_bool(args.ci))
     elif method == "slac":
         from hyphy_tpu.methods import slac as mod
         result = mod.run(args.alignment, args.code, tree, args.branches,
@@ -163,7 +198,10 @@ def main(argv=None) -> int:
     elif method == "meme":
         from hyphy_tpu.methods import meme as mod
         result = mod.run(args.alignment, args.code, tree, args.branches,
-                         pvalue=args.pvalue)
+                         pvalue=args.pvalue, rate_classes=args.rates,
+                         resample=args.resample,
+                         multiple_hits=args.multiple_hits,
+                         site_multihit=args.site_multihit)
     elif method == "fubar":
         from hyphy_tpu.methods import fubar as mod
         result = mod.run(args.alignment, args.code, tree, args.branches,
@@ -175,7 +213,10 @@ def main(argv=None) -> int:
                          srv=_bool(args.srv), rate_classes=args.rates,
                          srv_classes=args.syn_rates,
                          starting_points=max(args.starting_points, 2),
-                         save_fit=args.save_fit, srv_hmm=args.srv_hmm)
+                         save_fit=args.save_fit, srv_hmm=args.srv_hmm,
+                         multiple_hits=args.multiple_hits,
+                         error_sink=args.error_sink,
+                         srv_branchsite=args.srv_branchsite)
     elif method == "relax":
         from hyphy_tpu.methods import relax as mod
         result = mod.run(args.alignment, args.code, tree, test=args.test,
@@ -184,12 +225,18 @@ def main(argv=None) -> int:
     elif method == "absrel":
         from hyphy_tpu.methods import absrel as mod
         result = mod.run(args.alignment, args.code, tree, args.branches,
-                         pvalue=args.pvalue)
+                         pvalue=args.pvalue, multiple_hits=args.multiple_hits)
     elif method == "contrast-fel":
         from hyphy_tpu.methods import contrast_fel as mod
         result = mod.run(args.alignment, args.code, tree,
                          test_labels=args.branch_sets, srv=_bool(args.srv),
                          pvalue=args.pvalue, qvalue=args.qvalue)
+    elif method == "contrast-meme":
+        from hyphy_tpu.methods import contrast_meme as mod
+        result = mod.run(args.alignment, args.code, tree,
+                         test_labels=args.branch_sets, srv=_bool(args.srv),
+                         pvalue=args.pvalue, qvalue=args.qvalue,
+                         permutations=args.permutations)
     elif method == "gard":
         from hyphy_tpu.methods import gard as mod
         result = mod.run(args.alignment, max_breakpoints=args.max_breakpoints,

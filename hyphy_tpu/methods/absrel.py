@@ -79,12 +79,21 @@ def run(
     branches: str = "All",
     pvalue: float = 0.05,
     precision: float = 1e-4,
+    multiple_hits: str = "None",
 ) -> ABSRELResult:
+    """``multiple_hits``: "Double"/"Double+Triple" adds BRANCH-SPECIFIC
+    2-hit (delta) and 3-hit (psi) substitution rates to every branch's
+    rate-class mixture (reference --multiple-hits, aBSREL.bf:124-133;
+    golden ABSREL-MH.wbf)."""
+    mh = multiple_hits not in (None, "None", "")
+    mh_triple = multiple_hits == "Double+Triple"
     data = common.load_codon_data(alignment, genetic_code, tree, branches)
     _progress("fitting nucleotide GTR")
     gtr = common.fit_gtr(data, precision=1e-5)
     _progress(f"GTR lnL {gtr.loglik:.3f}; fitting global MG94xREV")
-    mg = common.fit_partitioned_mg94(data, gtr, precision=1e-5)
+    mg = common.fit_partitioned_mg94(
+        data, gtr, precision=1e-5, multiple_hits=multiple_hits
+    )
     _progress(f"MG94 lnL {mg.loglik:.3f}")
 
     filt = data.codon_filter
@@ -95,10 +104,28 @@ def run(
     sample_size = data.sample_size
 
     mg94 = MG94Base(gc, mg.corner_freqs, mg.codon_freqs)
+    basis_fn = None
+    if mh:
+        # per-branch delta/psi fold into that branch's bases ([B,S,S]):
+        # Q_{b,k} = t_b [ (Q1s + d_b Q2s + p_b Q3s)
+        #                 + omega_{b,k} (Q1n + d_b Q2n + p_b Q3n) ]
+        def basis_fn(params):
+            q1s, q1n = mg94.basis_matrices(params)
+            q2s, q2n = mg94.multihit_basis_matrices(params, 2)
+            d = params["delta"][:, None, None]
+            qs = q1s[None] + d * q2s[None]
+            qn = q1n[None] + d * q2n[None]
+            if mh_triple:
+                q3s, q3n = mg94.multihit_basis_matrices(params, 3)
+                p = params["psi"][:, None, None]
+                qs = qs + p * q3s[None]
+                qn = qn + p * q3n[None]
+            return qs, qn
+
     pdata = pruning.build_pruning_data(tree_obj)
     engine = BSRELEngine(
         mg94, pdata, jnp.asarray(filt.leaf_partials()), filt.pattern_weights,
-        np.arange(n_branches, dtype=np.int32),
+        np.arange(n_branches, dtype=np.int32), basis_fn=basis_fn,
     )
 
     specs: Specs = dict(MG94Base.theta_specs())
@@ -106,6 +133,10 @@ def run(
     specs["omega_last"] = ParamSpec(init=0.3, lower=0.0, upper=10000.0, shape=(n_branches,))
     specs["omega_raw"] = ParamSpec(init=0.2, lower=0.0, upper=1.0, shape=(n_branches, KMAX - 1))
     specs["fracs"] = ParamSpec(init=0.5, lower=0.0, upper=1.0, shape=(n_branches, KMAX - 1))
+    if mh:
+        specs["delta"] = ParamSpec(init=0.05, lower=0.0, upper=100.0, shape=(n_branches,))
+        if mh_triple:
+            specs["psi"] = ParamSpec(init=0.05, lower=0.0, upper=100.0, shape=(n_branches,))
 
     idx_k = jnp.arange(KMAX)
 
@@ -150,8 +181,12 @@ def run(
         return out, float(v)
 
     def n_params(n_classes):
-        # per branch: t + n omegas + (n-1) weights; + 5 thetas + 9 empirical
-        return int(5 + 9 + sum(2 * int(c) for c in n_classes))
+        # per branch: t + n omegas + (n-1) weights [+ delta/psi];
+        # + 5 thetas + 9 empirical
+        per_branch_mh = (1 if mh else 0) + (1 if mh_triple else 0)
+        return int(
+            5 + 9 + sum(2 * int(c) + per_branch_mh for c in n_classes)
+        )
 
     # -- baseline: one omega per branch ------------------------------------
     n_classes = np.ones(n_branches, dtype=np.int64)
@@ -159,6 +194,10 @@ def run(
     init.update({k: jnp.asarray(v) for k, v in mg.params.items() if k.startswith("theta")})
     init["t"] = jnp.asarray(np.maximum(mg.alphas, 1e-6))
     init["omega_last"] = jnp.full((n_branches,), float(np.mean(mg.omegas)))
+    if mh:
+        init["delta"] = jnp.full((n_branches,), float(mg.params.get("delta", 0.05)))
+        if mh_triple:
+            init["psi"] = jnp.full((n_branches,), float(mg.params.get("psi", 0.05)))
     _progress("fitting baseline (one omega per branch)")
     base_params, base_lnl = fit(init, n_classes, prec=precision)
     best_aicc = aic_c(base_lnl, n_params(n_classes), sample_size)
@@ -234,10 +273,17 @@ def run(
     positives = [n for n, p in corrected.items() if p <= pvalue]
 
     # -- JSON ---------------------------------------------------------------
-    rate_syn, rate_non = (float(x) for x in mg94.syn_nonsyn_unit_rates(params))
     t_mle = np.asarray(params["t"])
     mean_omega_b = (omegas_mle * weights_mle).sum(axis=1)
-    full_bl = t_mle * (rate_syn + mean_omega_b * rate_non) / 3.0
+    if mh:
+        qs_b, qn_b = (np.asarray(x) for x in basis_fn(params))   # [B,S,S]
+        freqs_np = np.asarray(mg94.frequencies)
+        rs_b = qs_b.sum(-1) @ freqs_np
+        rn_b = qn_b.sum(-1) @ freqs_np
+        full_bl = t_mle * (rs_b + mean_omega_b * rn_b) / 3.0
+    else:
+        rate_syn, rate_non = (float(x) for x in mg94.syn_nonsyn_unit_rates(params))
+        full_bl = t_mle * (rate_syn + mean_omega_b * rate_non) / 3.0
 
     branch_attributes = {"0": {}}
     for b in range(n_branches):
@@ -252,6 +298,13 @@ def run(
             "Full adaptive model": float(full_bl[b]),
             "Baseline MG94xREV": float(base_bl[b]),
         }
+        if mh:
+            # all-terms.bf:490-491 vocabulary, as in the reference JSON
+            entry["rate at which 2 nucleotides are changed instantly within a single codon"] = \
+                float(np.asarray(params["delta"])[b])
+            if mh_triple:
+                entry["rate at which 3 nucleotides are changed instantly within a single codon"] = \
+                    float(np.asarray(params["psi"])[b])
         if name in branch_lrt:
             entry["LRT"] = branch_lrt[name]
             entry["Uncorrected P-value"] = branch_p[name]

@@ -270,6 +270,7 @@ def fit_partitioned_mg94(
     precision: float = 1e-5,
     frequency_method: str = "CF3x4",
     refit_lengths: bool = True,
+    multiple_hits: str = "None",
 ) -> MG94Fit:
     """The 'Global MG94xREV' fit: stage 1 (doPartitionedMG,
     shared-load-file.bf:706) constrains alpha_b := scaler * GTR branch
@@ -289,12 +290,30 @@ def fit_partitioned_mg94(
         nuc_lengths=gtr.branch_lengths,
         branch_groups=data.branch_groups,
         n_groups=n_groups,
+        multiple_hits=multiple_hits,
     )
     lf = LikelihoodFunction([Partition(data.codon_filter, data.tree, model)])
-    init = {k: v for k, v in gtr.params.items() if k.startswith("theta")}
-    init["scaler"] = jnp.asarray(3.0)
-    init["omega"] = jnp.full((n_groups,), 0.25)
-    res = lf.fit(init=init, precision=precision)
+    # stage 1 holds the nucleotide biases at the GTR MLEs (reference:
+    # estimators.fixSubsetOfEstimates(gtr_results, ...) before
+    # doPartitionedMG in every method, e.g. FEL.bf:395); the full refit
+    # below ("codon-refit") frees them again
+    fixed_thetas = {
+        k: v for k, v in gtr.params.items()
+        if k.startswith("theta") and k in lf.specs
+    }
+    init = {"scaler": jnp.asarray(3.0), "omega": jnp.full((n_groups,), 0.25)}
+    if multiple_hits != "None":
+        init["delta"] = jnp.asarray(0.05)
+        if multiple_hits == "Double+Triple":
+            init["psi"] = jnp.asarray(0.05)
+    res = lf.fit(init=init, fixed=fixed_thetas, precision=precision)
+    res = dataclasses.replace(
+        res,
+        params={**res.params, **{k: jnp.asarray(v) for k, v in fixed_thetas.items()}},
+        # fixed thetas still count as estimated (ApplyExistingEstimates
+        # df_correction, estimators.bf:194)
+        n_free_parameters=res.n_free_parameters + len(fixed_thetas),
+    )
 
     if refit_lengths:
         model = MG94xREVPartitionedOmega(
@@ -303,6 +322,7 @@ def fit_partitioned_mg94(
             branch_groups=data.branch_groups,
             n_groups=n_groups,
             free_lengths=True,
+            multiple_hits=multiple_hits,
         )
         lf = LikelihoodFunction([Partition(data.codon_filter, data.tree, model)])
         init2 = {k: v for k, v in res.params.items() if k != "scaler"}
@@ -484,13 +504,22 @@ def fit_partitioned_mg94_multi(
     lf = LikelihoodFunction([
         Partition(p.codon_filter, p.tree, m) for p, m in zip(md.parts, models)
     ])
-    init: Dict[str, jnp.ndarray] = {
-        k: v for k, v in gtr.parts[0].params.items() if k.startswith("theta")
+    # nucleotide biases held at the joint-GTR MLEs during stage 1
+    # (fixSubsetOfEstimates before doPartitionedMG; cf. the exported
+    # reference LF partitioned.nex.SLAC.bf where theta_* are `:=`)
+    fixed_thetas = {
+        k: v for k, v in gtr.parts[0].params.items()
+        if k.startswith("theta") and k in lf.specs
     }
-    init["omega"] = jnp.full((n_groups,), 0.25)
+    init: Dict[str, jnp.ndarray] = {"omega": jnp.full((n_groups,), 0.25)}
     for i in range(md.n_partitions):
         init[lf.partition_key(i, "scaler")] = jnp.asarray(3.0)
-    res = lf.fit(init=init, precision=precision)
+    res = lf.fit(init=init, fixed=fixed_thetas, precision=precision)
+    res = dataclasses.replace(
+        res,
+        params={**res.params, **{k: jnp.asarray(v) for k, v in fixed_thetas.items()}},
+        n_free_parameters=res.n_free_parameters + len(fixed_thetas),
+    )
 
     if refit_lengths:
         scalers = [

@@ -147,6 +147,89 @@ def _bootstrap_pvalues(
     return (hits + 1.0) / (n_reps + 1.0)
 
 
+_CHI2_95_HALF = 1.9207294  # qchisq(0.95, df=1) / 2 — the 95% profile drop
+_OMEGA_CAP = 10000.0       # omega_ratio_for_ci :< 10000 (FEL.bf:746)
+
+
+def _profile_ci(
+    site_loglik, specs, srv, has_background, mh_est, mh_triple,
+    alt_alpha, alt_beta, alt_bg, site_delta, site_psi, alt_lnl, n_patterns,
+    n_expand: int = 8, n_bisect: int = 25,
+):
+    """95% profile-likelihood CI on site dN/dS (FEL.bf:738-756).
+
+    The profile REOPTIMIZES the nuisance parameters (alpha, background
+    beta, site delta/psi) at every trial ratio — matching the engine's
+    COVARIANCE_PARAMETER machinery (likefunc.cpp:6565) rather than the
+    fixed-nuisance approximation.  All sites are profiled simultaneously:
+    each bisection step is one jitted vmapped Nelder-Mead over patterns."""
+    nuis_specs = {k: v for k, v in specs.items() if k != "beta_test"}
+    idx = jnp.arange(n_patterns)
+    init = {}
+    if srv:
+        init["alpha"] = jnp.asarray(np.maximum(alt_alpha, 1e-8))
+    if has_background:
+        init["beta_nuisance"] = jnp.asarray(alt_bg)
+    if mh_est:
+        init["delta"] = jnp.asarray(site_delta)
+        if mh_triple:
+            init["psi"] = jnp.asarray(site_psi)
+
+    @jax.jit
+    def profile_vec(r):
+        """max over nuisance of site lnL with beta_test := r * alpha."""
+        def obj(i, p):
+            q = dict(p)
+            a = q["alpha"] if srv else jnp.ones(())
+            q["beta_test"] = r[i] * a
+            return site_loglik(i, q)
+
+        if nuis_specs:
+            _, lnl = vmapped_nelder_mead(obj, nuis_specs, init, idx,
+                                         max_iterations=80)
+            return lnl
+        return jax.vmap(lambda i: obj(i, {}))(idx)
+
+    r_mle = np.clip(
+        alt_beta / np.maximum(alt_alpha if srv else 1.0, 1e-8),
+        1e-10, _OMEGA_CAP,
+    )
+    target = alt_lnl - _CHI2_95_HALF
+
+    # lower bound: bisect g(r) = profile(r) - target on [0, r_mle]
+    lo = np.zeros(n_patterns)
+    hi = r_mle.copy()
+    g_lo = np.array(profile_vec(jnp.asarray(lo))) - target
+    at_zero = g_lo >= 0.0     # profile at omega=0 still within the band
+    for _ in range(n_bisect):
+        mid = 0.5 * (lo + hi)
+        g = np.array(profile_vec(jnp.asarray(mid))) - target
+        take_hi = g >= 0.0    # mid still inside the CI -> move down
+        hi = np.where(take_hi, mid, hi)
+        lo = np.where(take_hi, lo, mid)
+    lb = np.where(at_zero, 0.0, 0.5 * (lo + hi))
+
+    # upper bound: geometric expansion then log-space bisection
+    lo_u = r_mle.copy()
+    hi_u = np.minimum(np.maximum(r_mle * 4.0, 1e-4), _OMEGA_CAP)
+    for _ in range(n_expand):
+        g = np.array(profile_vec(jnp.asarray(hi_u))) - target
+        inside = (g >= 0.0) & (hi_u < _OMEGA_CAP)
+        lo_u = np.where(inside, hi_u, lo_u)
+        hi_u = np.where(inside, np.minimum(hi_u * 4.0, _OMEGA_CAP), hi_u)
+    g_cap = np.array(profile_vec(jnp.asarray(hi_u))) - target
+    at_cap = g_cap >= 0.0
+    llo, lhi = np.log(np.maximum(lo_u, 1e-10)), np.log(hi_u)
+    for _ in range(n_bisect):
+        lmid = 0.5 * (llo + lhi)
+        g = np.array(profile_vec(jnp.asarray(np.exp(lmid)))) - target
+        inside = g >= 0.0
+        llo = np.where(inside, lmid, llo)
+        lhi = np.where(inside, lhi, lmid)
+    ub = np.where(at_cap, _OMEGA_CAP, np.exp(0.5 * (llo + lhi)))
+    return lb, r_mle.copy(), ub
+
+
 def run(
     alignment: str,
     genetic_code: str = "Universal",
@@ -158,15 +241,34 @@ def run(
     site_precision: float = 1e-4,
     resample: int = 0,
     resample_seed: int = 0,
+    multiple_hits: str = "None",
+    site_multihit: str = "Estimate",
+    ci: bool = False,
 ) -> FELResult:
     """``resample`` > 0: per-site parametric-bootstrap p-values — simulate
     that many replicate columns under each site's NULL fit, refit
     alternative+null per replicate, and report
     ``p = (1 + #{LRT_sim >= LRT_obs}) / (N + 1)`` instead of the chi^2_1
-    asymptotics (reference FEL.bf:805-820, ``--resample``)."""
+    asymptotics (reference FEL.bf:805-820, ``--resample``).
+
+    ``multiple_hits``: "Double" / "Double+Triple" adds 2- (delta) and
+    3-nucleotide (psi) instantaneous rates to the global MG94 fit and the
+    per-site models (reference --multiple-hits, FEL.bf:102-137);
+    ``site_multihit`` selects per-site estimated rates ("Estimate") or
+    the global-fit plug-in values ("Global") (FEL.bf:163-172).
+
+    ``ci``: 95% profile-likelihood confidence intervals on site dN/dS
+    (reference --ci, FEL.bf:738-756) — nuisance parameters are
+    REOPTIMIZED at every trial ratio (the engine's COVARIANCE_PARAMETER
+    profile, likefunc.cpp:6565), via batched bisection over all sites."""
+    mh = multiple_hits not in (None, "None", "")
+    mh_triple = multiple_hits == "Double+Triple"
+    mh_est = mh and site_multihit == "Estimate"
     data = common.load_codon_data(alignment, genetic_code, tree, branches)
     gtr = common.fit_gtr(data, precision=precision)
-    mg = common.fit_partitioned_mg94(data, gtr, precision=precision)
+    mg = common.fit_partitioned_mg94(
+        data, gtr, precision=precision, multiple_hits=multiple_hits
+    )
 
     filt = data.codon_filter
     tested = data.tested_branches
@@ -174,8 +276,18 @@ def run(
     n_patterns = filt.n_patterns
 
     model = mg.model
-    q_syn, q_non = model.basis_matrices(mg.params)
-    rate_syn, rate_non = model.syn_nonsyn_unit_rates(mg.params)
+    delta_hat = float(mg.params.get("delta", 0.0)) if mh else 0.0
+    psi_hat = float(mg.params.get("psi", 0.0)) if mh_triple else 0.0
+    if mh:
+        # folded single+multi-hit bases at the global delta/psi MLEs
+        q_syn, q_non = model.combined_basis_matrices(mg.params)
+        q1_syn, q1_non = model.basis_matrices(mg.params)
+        q2_syn, q2_non = model.multihit_basis_matrices(mg.params, 2)
+        q3 = model.multihit_basis_matrices(mg.params, 3) if mh_triple else None
+    else:
+        q_syn, q_non = model.basis_matrices(mg.params)
+    rate_syn = q_syn.sum(-1) @ model.frequencies
+    rate_non = q_non.sum(-1) @ model.frequencies
     alpha_hat = jnp.asarray(mg.alphas)              # [B] branch synRate MLEs
     freqs = model.frequencies
     group_of_branch = jnp.asarray(np.where(tested, 0, 1).astype(np.int32))
@@ -184,14 +296,28 @@ def run(
     pdata = pruning.build_pruning_data(data.tree)
     tested_j = jnp.asarray(tested.astype(np.float64))
 
-    def _loglik_vectors(leaf_vecs, a, beta_list):
+    def _bases(scalers):
+        """(Q_syn, Q_nonsyn) for one site's fit: global-plug-in folded
+        bases, or per-site delta/psi folds when site_multihit=Estimate."""
+        if not mh_est:
+            return q_syn, q_non
+        d = scalers["delta"]
+        qs = q1_syn + d * q2_syn
+        qn = q1_non + d * q2_non
+        if mh_triple:
+            qs = qs + scalers["psi"] * q3[0]
+            qn = qn + scalers["psi"] * q3[1]
+        return qs, qn
+
+    def _loglik_vectors(leaf_vecs, a, beta_list, scalers=None):
         """lnL for explicit [taxa, S] leaf vectors with alpha scaler ``a``
         and per-group beta scalers; branch rates are alpha_hat_b * scaler.
         Spectral factors act on CLV vectors (no P materialization) — the
         per-site fast path."""
+        qs, qn = _bases(scalers or {})
         b = jnp.stack(beta_list)                                # [G]
         m = fill_diagonal_from_rows(
-            a * q_syn[None] + b[:, None, None] * q_non[None]
+            a * qs[None] + b[:, None, None] * qn[None]
         )                                                        # [G,S,S]
         left, lam, right = expm_ops.reversible_spectral(m, freqs)
         if has_background:
@@ -203,15 +329,15 @@ def run(
             left[0], lam[0], right[0], alpha_hat, leaf_vecs, freqs, pdata,
         )
 
-    def _loglik_core(i, a, beta_list):
-        return _loglik_vectors(leaf_partials[:, i, :], a, beta_list)
+    def _loglik_core(i, a, beta_list, scalers=None):
+        return _loglik_vectors(leaf_partials[:, i, :], a, beta_list, scalers)
 
     def site_loglik(i, scalers):
         a = scalers["alpha"] if srv else jnp.ones(())
         betas = [scalers["beta_test"]]
         if has_background:
             betas.append(scalers["beta_nuisance"])
-        return _loglik_core(i, a, betas)
+        return _loglik_core(i, a, betas, scalers)
 
     # -- alternative fits ---------------------------------------------------
     if srv:
@@ -232,6 +358,13 @@ def run(
             grid["beta_nuisance"] = jnp.asarray(_NOSRV_GRID)
     if has_background:
         specs["beta_nuisance"] = ParamSpec(init=1.0, lower=0.0, upper=10000.0)
+    if mh_est:
+        n_grid = next(iter(grid.values())).shape[0]
+        specs["delta"] = ParamSpec(init=max(delta_hat, 1e-3), lower=0.0, upper=100.0)
+        grid["delta"] = jnp.full((n_grid,), delta_hat)
+        if mh_triple:
+            specs["psi"] = ParamSpec(init=max(psi_hat, 1e-3), lower=0.0, upper=100.0)
+            grid["psi"] = jnp.full((n_grid,), psi_hat)
 
     def fit_all_sites(idx, _init):
         starts, _ = grid_best_starts(site_loglik, grid, idx)
@@ -251,12 +384,16 @@ def run(
         if has_background:
             null_specs["beta_nuisance"] = specs["beta_nuisance"]
             null_start["beta_nuisance"] = alt_params["beta_nuisance"]
+        if mh_est:
+            for k in ("delta", "psi") if mh_triple else ("delta",):
+                null_specs[k] = specs[k]
+                null_start[k] = alt_params[k]
 
         def null_loglik(i, scalers):
             betas = [scalers["alpha"]]
             if has_background:
                 betas.append(scalers["beta_nuisance"])
-            return _loglik_core(i, scalers["alpha"], betas)
+            return _loglik_core(i, scalers["alpha"], betas, scalers)
 
         null_params, null_lnl = vmapped_nelder_mead(
             null_loglik, null_specs, null_start, idx
@@ -274,23 +411,48 @@ def run(
             null_params["beta_nuisance"] if has_background
             else jnp.ones_like(null_common)
         )
-        return (alt_alpha, alt_beta, alt_lnl, null_common, null_lnl,
-                total_bl, null_bg)
+        out = (alt_alpha, alt_beta, alt_lnl, null_common, null_lnl,
+               total_bl, null_bg)
+        if mh_est:
+            out = out + (alt_params["delta"],)
+            if mh_triple:
+                out = out + (alt_params["psi"],)
+        if ci or has_background:
+            out = out + (
+                alt_params["beta_nuisance"] if has_background
+                else jnp.ones_like(null_common),
+            )
+        return out
 
     from hyphy_tpu.parallel.mesh import sharded_site_solve
 
-    alt_alpha, alt_beta, alt_lnl, null_common, null_lnl, total_bl, null_bg = (
-        np.array(x)
-        for x in sharded_site_solve(fit_all_sites, {}, n_patterns)
-    )
+    fit_out = [np.array(x) for x in sharded_site_solve(fit_all_sites, {}, n_patterns)]
+    (alt_alpha, alt_beta, alt_lnl, null_common, null_lnl, total_bl,
+     null_bg) = fit_out[:7]
+    pos = 7
+    site_delta = site_psi = None
+    if mh_est:
+        site_delta = fit_out[pos]; pos += 1
+        if mh_triple:
+            site_psi = fit_out[pos]; pos += 1
+    alt_bg = fit_out[pos] if (ci or has_background) else None
     lrt = np.maximum(2.0 * (alt_lnl - null_lnl), 0.0)
     pvals = np.array([common.chi2_sf(x, 1) for x in lrt])
+    p_asymptotic = pvals
 
     if resample > 0:
         pvals = _bootstrap_pvalues(
             resample, resample_seed, data, filt, model, mg, np.asarray(q_syn),
             np.asarray(q_non), np.asarray(alpha_hat), null_common, null_bg,
             lrt, _loglik_vectors, specs, grid, srv, has_background,
+        )
+
+    ci_cols = None
+    if ci:
+        ci_cols = _profile_ci(
+            site_loglik, specs, srv, has_background, mh_est, mh_triple,
+            alt_alpha, alt_beta, alt_bg, site_delta, site_psi, alt_lnl,
+            n_patterns,
         )
 
     # constant patterns are not fit (FEL.bf: is_constant -> zero row)
@@ -300,16 +462,16 @@ def run(
         (lrt, 0.0), (pvals, 1.0), (total_bl, 0.0),
     ):
         arr[constant] = val
+    if ci_cols is not None:
+        for arr in ci_cols:
+            arr[constant] = 0.0
+    if site_delta is not None:
+        site_delta[constant] = 0.0
+    if site_psi is not None:
+        site_psi[constant] = 0.0
 
     dup = filt.duplicate_map
-    site_table = np.stack(
-        [
-            alt_alpha[dup], alt_beta[dup], null_common[dup],
-            lrt[dup], pvals[dup], total_bl[dup],
-        ],
-        axis=1,
-    )
-
+    columns = [alt_alpha, alt_beta, null_common, lrt, pvals, total_bl]
     headers = [
         ["alpha", "Synonymous substitution rate at a site"],
         ["beta", "Non-synonymous substitution rate at a site"],
@@ -318,6 +480,24 @@ def run(
         ["p-value", "Likelihood ratio test statistic for beta = alpha, versus beta &neq; alpha"],
         ["Total branch length", "The total length of branches contributing to inference at this site, and used to scale dN-dS"],
     ]
+    # column order mirrors FEL.bf:174-270: base, [ci x3], [p-asmp], [2H], [3H]
+    if ci:
+        columns += list(ci_cols)
+        headers += [
+            ["dN/dS LB", "95% profile likelihood CI lower bound for dN/dS (if available)"],
+            ["dN/dS MLE", "Point estimate for site dN/dS"],
+            ["dN/dS UB", "95% profile likelihood CI upper bound for dN/dS (if available)"],
+        ]
+    if resample > 0:
+        columns.append(p_asymptotic)
+        headers.append(["p-asmp", "p-value derived from the asymptotic test statistic"])
+    if mh:
+        columns.append(site_delta if mh_est else np.full(n_patterns, delta_hat))
+        headers.append(["2H rate", "Site-level rate for 2-nucleotide substitutions"])
+        if mh_triple:
+            columns.append(site_psi if mh_est else np.full(n_patterns, psi_hat))
+            headers.append(["3H rate", "Site-level rate for 3-nucleotide substitutions"])
+    site_table = np.stack([c[dup] for c in columns], axis=1)
 
     json = analysis_json(
         info="FEL (Fixed Effects Likelihood) estimates site-wise synonymous (&alpha;) "

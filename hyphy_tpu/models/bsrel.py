@@ -92,16 +92,26 @@ class BSRELEngine:
         self.freqs = mg94.frequencies
         self.basis_fn = basis_fn or mg94.basis_matrices
 
+    def _family_generators(self, params, omegas):
+        """[G*K, S, S] generators; per-group bases (``basis_fn`` returning
+        [G,S,S] pairs — aBSREL's per-branch multiple-hit rates) broadcast
+        along the class axis, shared bases along both."""
+        g, k = omegas.shape
+        q_syn, q_non = self.basis_fn(params)
+        if q_syn.ndim == 3:                                     # per-group
+            m = q_syn[:, None] + omegas[:, :, None, None] * q_non[:, None]
+            return fill_diagonal_from_rows(m.reshape(g * k, *m.shape[2:]))
+        return fill_diagonal_from_rows(
+            q_syn[None] + omegas.reshape(g * k)[:, None, None] * q_non[None]
+        )
+
     def mixture_propagators(self, params, omegas, weights, times):
         """P_mix [C, B, S, S] for srv-scaled times.
 
         omegas/weights: [G, K]; times: [C, B] (srv rate x branch time).
         """
         g, k = omegas.shape
-        q_syn, q_non = self.basis_fn(params)
-        m = fill_diagonal_from_rows(
-            q_syn[None] + omegas.reshape(g * k)[:, None, None] * q_non[None]
-        )                                                       # [G*K, S, S]
+        m = self._family_generators(params, omegas)             # [G*K, S, S]
         left, lam, right = expm_ops.reversible_spectral(m, self.freqs)
         s = m.shape[-1]
         left = left.reshape(g, k, s, s)[self.group_of_branch]    # [B,K,S,S]
@@ -127,10 +137,7 @@ class BSRELEngine:
         site-level outer mixture)."""
         g, k = omegas.shape
         c = srv_rates.shape[0]
-        q_syn, q_non = self.basis_fn(params)
-        m = fill_diagonal_from_rows(
-            q_syn[None] + omegas.reshape(g * k)[:, None, None] * q_non[None]
-        )                                                        # [G*K, S, S]
+        m = self._family_generators(params, omegas)              # [G*K, S, S]
         left, lam, right = expm_ops.reversible_spectral(m, self.freqs)
         s = m.shape[-1]
         left = left.reshape(g, k, s, s)[self.group_of_branch]    # [B,K,S,S]

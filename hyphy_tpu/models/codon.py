@@ -416,12 +416,14 @@ class MG94xREVPartitionedOmega(MG94Base):
         n_groups: int,
         free_lengths: bool = False,     # if True, alpha_b free (init from nuc)
         theta_classes: Optional[str] = None,
+        multiple_hits: str = "None",    # "None" | "Double" | "Double+Triple"
     ):
         super().__init__(gc, corner_freqs, codon_freqs, theta_classes=theta_classes)
         self.nuc_lengths = jnp.asarray(np.asarray(nuc_lengths, dtype=np.float64))
         self.branch_groups = jnp.asarray(np.asarray(branch_groups, dtype=np.int32))
         self.n_groups = n_groups
         self.free_lengths = free_lengths
+        self.multiple_hits = multiple_hits
 
     def parameter_specs(self, n_branches: int) -> Specs:
         specs = self.theta_parameter_specs()
@@ -435,6 +437,12 @@ class MG94xREVPartitionedOmega(MG94Base):
             specs["alpha"] = ParamSpec(init=0.15, lower=0.0, upper=10000.0, shape=(n_branches,))
         else:
             specs["scaler"] = ParamSpec(init=3.0, lower=0.0, upper=10000.0, shared=False)
+        if self.multiple_hits != "None":
+            # global 2-hit (delta) / 3-hit (psi) rates shared across
+            # branches and partitions (MG_REV_MH.bf / MG_REV_TRIP.bf)
+            specs["delta"] = ParamSpec(init=0.05, lower=0.0, upper=100.0, shared=True)
+            if self.multiple_hits == "Double+Triple":
+                specs["psi"] = ParamSpec(init=0.05, lower=0.0, upper=100.0, shared=True)
         return specs
 
     def _alphas(self, params: Params) -> jnp.ndarray:
@@ -442,7 +450,32 @@ class MG94xREVPartitionedOmega(MG94Base):
             return params["alpha"]
         return params["scaler"] * self.nuc_lengths
 
+    def combined_basis_matrices(self, params: Params):
+        """(Q_syn, Q_nonsyn) including the multiple-hit entry sets scaled
+        by delta (2-hit) and psi (3-hit) when enabled."""
+        qs, qn = self.basis_matrices(params)
+        if self.multiple_hits != "None":
+            q2s, q2n = self.multihit_basis_matrices(params, 2)
+            qs = qs + params["delta"] * q2s
+            qn = qn + params["delta"] * q2n
+            if self.multiple_hits == "Double+Triple":
+                q3s, q3n = self.multihit_basis_matrices(params, 3)
+                qs = qs + params["psi"] * q3s
+                qn = qn + params["psi"] * q3n
+        return qs, qn
+
     def build(self, params: Params, n_branches: int) -> ModelOutput:
+        if self.multiple_hits != "None":
+            qs, qn = self.combined_basis_matrices(params)
+            m = fill_diagonal_from_rows(
+                qs[None] + params["omega"][:, None, None] * qn[None]
+            )
+            left, lam, right = expm_ops.reversible_spectral(m, self.frequencies)
+            g = self.branch_groups
+            p = expm_ops.spectral_propagators(
+                left[g], lam[g], right[g], self._alphas(params)
+            )
+            return ModelOutput(p_matrices=p, root_freqs=self.frequencies)
         p = self.propagators_grouped(
             params, self._alphas(params), params["omega"], self.branch_groups
         )
@@ -451,4 +484,9 @@ class MG94xREVPartitionedOmega(MG94Base):
     def branch_lengths(self, params: Params) -> jnp.ndarray:
         alpha = self._alphas(params)
         beta = alpha * params["omega"][self.branch_groups]
+        if self.multiple_hits != "None":
+            qs, qn = self.combined_basis_matrices(params)
+            rs = qs.sum(-1) @ self.frequencies
+            rn = qn.sum(-1) @ self.frequencies
+            return (alpha * rs + beta * rn) / 3.0
         return self.rate_per_branch(params, alpha, beta)

@@ -37,12 +37,25 @@ def pytest_configure(config):
     )
 
 
+# Modules whose tests are CD2/golden parity fixtures taking minutes each.
+# The default tier (fast, < 5 min) covers every method on small synthetic
+# fixtures (test_fast_methods.py) plus all engine/data/aux units; the full
+# golden tier runs with HYPHY_TPU_RUN_SLOW=1 (reference test strategy:
+# golden-value integration tests, SURVEY.md section 4).
+SLOW_MODULES = {
+    "test_fel", "test_meme", "test_busted", "test_relax", "test_absrel",
+    "test_fubar", "test_slac", "test_prime", "test_bgm",
+    "test_leisr_fade_cfel", "test_simpleopt_parity", "test_partitioned",
+    "test_codon_models",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     if os.environ.get("HYPHY_TPU_RUN_SLOW"):
         return
-    skip = pytest.mark.skip(reason="slow fixture; set HYPHY_TPU_RUN_SLOW=1")
+    skip = pytest.mark.skip(reason="slow golden fixture; set HYPHY_TPU_RUN_SLOW=1")
     for item in items:
-        if "slow" in item.keywords:
+        if "slow" in item.keywords or item.module.__name__ in SLOW_MODULES:
             item.add_marker(skip)
 
 
