@@ -3,12 +3,20 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The workload is the framework's hot loop — one full MG94xREV likelihood
-evaluation (Q build -> spectral expm -> level-scan pruning over all
-branches -> weighted reduction) on a 1000-taxon x 300-codon alignment.
-``value`` counts site-pattern likelihood evaluations per second
-(patterns x full-evals / sec).  ``vs_baseline`` compares against the
-reference HyPhy binary's LFCompute rate measured on this host
-(``bench_baseline.json``; regenerate with ``python bench.py --measure-baseline``).
+evaluation (Q build -> shared-generator Taylor propagators -> level-scan
+pruning over all branches -> weighted reduction) on a 1000-taxon x
+2048-codon alignment.  ``value`` counts site-pattern likelihood
+evaluations per second (patterns x full-evals / sec).  ``vs_baseline``
+compares against the reference HyPhy binary's LFCompute rate measured on
+this host on the SAME workload (``bench_baseline.json``; regenerate with
+``python bench.py --measure-baseline``).
+
+Accuracy is tracked alongside speed: every run also evaluates the
+identical parameter vector on the CPU fp64 path and reports
+``|delta_lnl|`` (total and per-site) between the accelerator dtype and
+fp64, plus the fp64-vs-reference-binary parity gap when the baseline file
+carries a ``reference_lnL`` for this workload (branch synRates pinned to
+identical values on both sides).
 """
 
 import json
@@ -17,24 +25,32 @@ import sys
 import time
 
 N_TAXA = int(os.environ.get("BENCH_TAXA", 1000))
-N_CODONS = int(os.environ.get("BENCH_CODONS", 300))
+N_CODONS = int(os.environ.get("BENCH_CODONS", 2048))
 N_EVALS = int(os.environ.get("BENCH_EVALS", 20))
 _BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+_FEL_E2E_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "benchmarks", "fel_e2e.json"
+)
 
 
-def build_problem(dtype_name: str):
-    import jax.numpy as jnp
+def build_problem():
+    """Returns (loglik(params, lp, w, scale), params_np, filt, model, tree).
+
+    ``params_np`` is a plain-numpy fp64 parameter dict; callers cast to the
+    evaluation dtype.  Branch synRates ('alpha') are set so the expected
+    substitutions/site per branch equal the synthetic tree's input lengths
+    — the same values the reference-baseline HBL program pins, so lnL
+    values are comparable across implementations.
+    """
     import numpy as np
 
     from hyphy_tpu.data.filter import DataFilter
     from hyphy_tpu.data.genetic_code import GeneticCode
     from hyphy_tpu.models import frequencies as freq_mod
     from hyphy_tpu.models.codon import MG94xREVPartitionedOmega
-    from hyphy_tpu.ops import pruning
     from hyphy_tpu.tree.topology import Tree
     from hyphy_tpu.utils.synth import random_tree_newick, synthetic_codon_alignment
 
-    dtype = jnp.dtype(dtype_name)
     gc = GeneticCode("Universal")
     aln = synthetic_codon_alignment(N_TAXA, N_CODONS, seed=11)
     filt = DataFilter.from_alignment(aln, "codon", genetic_code=gc)
@@ -48,53 +64,102 @@ def build_problem(dtype_name: str):
         n_groups=1,
         free_lengths=True,
     )
-    pdata = pruning.build_pruning_data(tree)
     specs = model.parameter_specs(nb)
-    params = {k: s.initial().astype(dtype) for k, s in specs.items()}
-    params["alpha"] = jnp.asarray(model.nuc_lengths, dtype=dtype)
-    leaf_partials = jnp.asarray(filt.leaf_partials(), dtype=dtype)
-    weights = jnp.asarray(filt.pattern_weights, dtype=dtype)
+    params = {k: np.asarray(s.initial(), np.float64) for k, s in specs.items()}
+    params["alpha"] = np.asarray(model.nuc_lengths, np.float64)
+    return params, filt, model, tree
 
-    def loglik(params, scale):
+
+def make_loglik(model, tree, nb):
+    import jax.numpy as jnp
+
+    from hyphy_tpu.ops import pruning
+
+    pdata = pruning.build_pruning_data(tree)
+
+    def loglik(params, lp, w, scale):
         p2 = dict(params)
         p2["omega"] = params["omega"] * scale  # vary params across evals
         out = model.build(p2, nb)
-        sll = pruning.site_log_likelihoods(
-            out.p_matrices, leaf_partials, out.root_freqs, pdata
-        )
-        return jnp.dot(sll, weights)
+        sll = pruning.site_log_likelihoods(out.p_matrices, lp, out.root_freqs, pdata)
+        return jnp.dot(sll, w)
 
-    return loglik, params, filt.n_patterns
+    return loglik
 
 
 def run_bench():
     import hyphy_tpu  # noqa: F401  (applies HYPHY_TPU_PLATFORM override)
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     backend = jax.default_backend()
-    dtype = "float32" if backend != "cpu" else "float64"
-    loglik, params, n_patterns = build_problem(dtype)
+    dtype = jnp.float32 if backend != "cpu" else jnp.float64
+    # ALL setup on the host CPU device: problem construction and model
+    # init create small arrays eagerly, and un-jitted ops on a tunneled
+    # TPU cost a ~100ms round-trip each
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params_np, filt, model, tree = build_problem()
+        nb = tree.n_branches
+        loglik = make_loglik(model, tree, nb)
+        n_patterns = filt.n_patterns
+        leaf_np = filt.leaf_partials()
+
+        # fp64 reference value at the identical parameter point
+        lp64 = jnp.asarray(leaf_np, jnp.float64)
+        w64 = jnp.asarray(filt.pattern_weights, jnp.float64)
+        p64 = {k: jax.device_put(v, cpu) for k, v in params_np.items()}
+        lnl_fp64 = float(loglik(p64, lp64, w64, jnp.asarray(1.0, jnp.float64)))
+
+    params = {k: jnp.asarray(v, dtype=dtype) for k, v in params_np.items()}
+    lp = jnp.asarray(leaf_np.astype("float32" if dtype == jnp.float32 else "float64"))
+    w = jnp.asarray(filt.pattern_weights, dtype=dtype)
     f = jax.jit(loglik)
     # warmup / compile
-    v = f(params, jnp.asarray(1.0, dtype))
+    v = f(params, lp, w, jnp.asarray(1.0, dtype))
     v.block_until_ready()
+    lnl_dev = float(v)
     t0 = time.time()
     for k in range(N_EVALS):
-        v = f(params, jnp.asarray(1.0 + 1e-4 * k, dtype))
+        v = f(params, lp, w, jnp.asarray(1.0 + 1e-4 * (k + 1), dtype))
     v.block_until_ready()
     dt = time.time() - t0
     evals_per_sec = N_EVALS / dt
     value = n_patterns * evals_per_sec
 
     vs_baseline = None
+    base = {}
     if os.path.exists(_BASELINE_FILE):
         try:
             with open(_BASELINE_FILE) as fh:
                 base = json.load(fh)
-            ref = base.get("site_lnl_evals_per_sec")
-            if ref:
-                vs_baseline = value / ref
+        except Exception:
+            base = {}
+        ref = base.get("site_lnl_evals_per_sec")
+        if ref and base.get("taxa") == N_TAXA and base.get("codons") == N_CODONS:
+            vs_baseline = value / ref
+
+    delta = abs(lnl_dev - lnl_fp64)
+    detail = {
+        "backend": backend, "dtype": str(np.dtype(dtype)), "taxa": N_TAXA,
+        "codons": N_CODONS, "patterns": n_patterns,
+        "full_evals_per_sec": round(evals_per_sec, 4),
+        "lnl_fp64": lnl_fp64,
+        "lnl_device": lnl_dev,
+        "delta_lnl_abs": round(delta, 6),
+        "delta_lnl_per_site": round(delta / N_CODONS, 9),
+        "delta_lnl_rel": round(delta / abs(lnl_fp64), 12),
+    }
+    if base.get("reference_lnL") is not None and base.get("codons") == N_CODONS:
+        detail["reference_lnL"] = base["reference_lnL"]
+        detail["fp64_vs_reference_lnL"] = round(
+            abs(lnl_fp64 - base["reference_lnL"]), 6
+        )
+    if os.path.exists(_FEL_E2E_FILE):
+        try:
+            with open(_FEL_E2E_FILE) as fh:
+                detail["fel_end_to_end"] = json.load(fh)
         except Exception:
             pass
 
@@ -103,12 +168,7 @@ def run_bench():
         "value": round(value, 2),
         "unit": "site-pattern lnL evals/sec",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-        "detail": {
-            "backend": backend, "dtype": dtype, "taxa": N_TAXA,
-            "codons": N_CODONS, "patterns": n_patterns,
-            "full_evals_per_sec": round(evals_per_sec, 4),
-            "final_lnL": float(v),
-        },
+        "detail": detail,
     }))
 
 

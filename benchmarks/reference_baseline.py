@@ -58,7 +58,7 @@ def _mg94_matrix_lines(gc, corners) -> list:
         theta = "" if a + b == "AG" else f"theta_{a}{b}*"
         omega = "" if tbl["synonymous"][k] else "R*"
         mult = corners[tn, int(tbl["position"][k])]
-        lines.append(f"Q[{i}][{j}]:={theta}{omega}synRate*{mult:.12g};")
+        lines.append(f"Q[{i}][{j}]:={theta}{omega}synRate*{mult:.17g};")
     assert pair_names  # documented order only
     return lines
 
@@ -82,11 +82,40 @@ def measure(n_taxa: int, n_codons: int, out_path: str, n_evals: int = 10) -> dic
     with open(fasta, "w") as fh:
         for name, seq in zip(aln.names, aln.sequences):
             fh.write(f">{name}\n{seq}\n")
-    newick = tree.to_newick(
-        lengths=np.maximum(np.abs(np.asarray(tree.input_lengths)), 1e-3)
+    alphas = np.maximum(np.abs(np.asarray(tree.input_lengths)), 1e-3)
+
+    # The bench tree is rooted-bifurcating; HyPhy unroots on input,
+    # merging the two root branches into one.  Emit the unrooted form
+    # explicitly with the merged branch rate la + lb — for a reversible
+    # model with stationary root frequencies the likelihood is identical
+    # (pulley principle), so FIRST_LNL is directly comparable to the
+    # framework's fp64 lnL at the same parameter point.
+    rates = {tree.names[b]: float(alphas[b]) for b in range(tree.n_branches)}
+    ra, rb = tree.children[tree.root]
+    if tree.is_leaf(ra):          # keep an internal node as the new top
+        ra, rb = rb, ra
+    rates[tree.names[rb]] = float(alphas[ra] + alphas[rb])
+
+    def fmt(node):
+        if tree.is_leaf(node):
+            return tree.names[node]
+        inner = ",".join(fmt(c) for c in tree.children[node])
+        return f"({inner}){tree.names[node]}"
+
+    top = [fmt(c) for c in tree.children[ra]] + [fmt(rb)]
+    newick = "(" + ",".join(top) + ")" + tree.names[tree.root]
+    branch_names = [
+        tree.names[b] for b in range(tree.n_branches) if b != ra
+    ]
+
+    # pin each branch's synRate to the exact values the bench evaluates
+    # (bench.py build_problem: alpha = clamped input lengths)
+    rate_lines = "\n".join(
+        f"benchTree.{name}.synRate = {rates[name]:.17g};"
+        for name in branch_names
     )
 
-    freq_lines = "\n".join(f"{{{x:.12g}}}" for x in np.asarray(codon_freqs))
+    freq_lines = "\n".join(f"{{{x:.17g}}}" for x in np.asarray(codon_freqs))
     q_lines = "\n".join(_mg94_matrix_lines(gc, np.asarray(corners)))
     script = f"""
 global theta_AC = 0.25; global theta_AT = 0.25; global theta_CG = 0.25;
@@ -100,8 +129,10 @@ DataSet ds = ReadDataFile ("{fasta}");
 DataSetFilter filtered = CreateFilter (ds, 3, "", "", "TAA,TAG,TGA");
 Tree benchTree = "{newick}";
 LikelihoodFunction lf = (filtered, benchTree);
+{rate_lines}
 LFCompute (lf, LF_START_COMPUTE);
 LFCompute (lf, logl);
+fprintf (stdout, "FIRST_LNL\t", logl, "\\n");
 t0 = Time (1);
 for (k = 0; k < {n_evals}; k += 1) {{
     R = 0.25 + 0.0001 * (k + 1);
@@ -120,13 +151,13 @@ fprintf (stdout, "LAST_LNL\t", logl, "\\n");
         [binary, "LIBPATH=/root/reference/res", bf],
         capture_output=True, text=True, timeout=3600, env=env,
     )
-    m = re.search(r"EVALS_PER_SEC\s+([0-9.eE+-]+)", res.stdout)
+    m = re.search(r"EVALS_PER_SEC\s+([0-9.eE+-]+|inf)", res.stdout)
     if not m:
         raise RuntimeError(
             f"baseline run failed:\n{res.stdout[-2000:]}\n{res.stderr[-2000:]}"
         )
-    evals_per_sec = float(m.group(1))
-    lnl = re.search(r"LAST_LNL\s+(-?[0-9.eE+-]+)", res.stdout)
+    evals_per_sec = float(m.group(1))  # inf = workload too small to time
+    lnl = re.search(r"FIRST_LNL\s+(-?[0-9.eE+-]+)", res.stdout)
     out = {
         "binary": binary,
         "taxa": n_taxa,
@@ -134,6 +165,8 @@ fprintf (stdout, "LAST_LNL\t", logl, "\\n");
         "patterns": filt.n_patterns,
         "full_evals_per_sec": evals_per_sec,
         "site_lnl_evals_per_sec": evals_per_sec * filt.n_patterns,
+        # lnL at the pinned parameter point (theta=0.25, R=0.25,
+        # synRate_b = clamped input lengths) — the bench's parity anchor
         "reference_lnL": float(lnl.group(1)) if lnl else None,
     }
     with open(out_path, "w") as fh:

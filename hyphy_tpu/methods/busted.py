@@ -154,8 +154,11 @@ def run(
             "error-sink, or HMM SRV"
         )
     data = common.load_codon_data(alignment, genetic_code, tree, branches)
+    common.progress("busted", "fitting nucleotide GTR")
     gtr = common.fit_gtr(data, precision=1e-5)
+    common.progress("busted", f"GTR lnL {gtr.loglik:.3f}; fitting global MG94xREV")
     mg = common.fit_partitioned_mg94(data, gtr, precision=1e-5)
+    common.progress("busted", f"MG94 lnL {mg.loglik:.3f}; unconstrained BS-REL fit")
 
     filt = data.codon_filter
     gc = data.genetic_code

@@ -23,6 +23,21 @@ from hyphy_tpu.models.codon import MG94xREVPartitionedOmega
 from hyphy_tpu.models.dna import GTR
 from hyphy_tpu.tree.topology import Tree
 
+def progress(method: str, msg: str) -> None:
+    """Uniform stderr progress line, one per pipeline stage, across every
+    analysis (reference: ``io.ReportProgressMessageMD``).  Silence with
+    HYPHY_TPU_PROGRESS=0."""
+    import os
+    import sys
+    import time
+
+    if os.environ.get("HYPHY_TPU_PROGRESS", "1") != "0":
+        print(
+            f"[{method} {time.strftime('%H:%M:%S')}] {msg}",
+            file=sys.stderr, flush=True,
+        )
+
+
 try:  # scipy is available in the image; chi2 sf for LRT p-values
     from scipy.stats import chi2 as _chi2
 

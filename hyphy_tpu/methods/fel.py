@@ -265,10 +265,13 @@ def run(
     mh_triple = multiple_hits == "Double+Triple"
     mh_est = mh and site_multihit == "Estimate"
     data = common.load_codon_data(alignment, genetic_code, tree, branches)
+    common.progress("fel", "fitting nucleotide GTR")
     gtr = common.fit_gtr(data, precision=precision)
+    common.progress("fel", f"GTR lnL {gtr.loglik:.3f}; fitting global MG94xREV")
     mg = common.fit_partitioned_mg94(
         data, gtr, precision=precision, multiple_hits=multiple_hits
     )
+    common.progress("fel", f"MG94 lnL {mg.loglik:.3f}; per-site fits")
 
     filt = data.codon_filter
     tested = data.tested_branches
@@ -427,6 +430,7 @@ def run(
     from hyphy_tpu.parallel.mesh import sharded_site_solve
 
     fit_out = [np.array(x) for x in sharded_site_solve(fit_all_sites, {}, n_patterns)]
+    common.progress("fel", "per-site fits done")
     (alt_alpha, alt_beta, alt_lnl, null_common, null_lnl, total_bl,
      null_bg) = fit_out[:7]
     pos = 7
@@ -441,6 +445,7 @@ def run(
     p_asymptotic = pvals
 
     if resample > 0:
+        common.progress("fel", f"parametric bootstrap: {resample} replicates/site")
         pvals = _bootstrap_pvalues(
             resample, resample_seed, data, filt, model, mg, np.asarray(q_syn),
             np.asarray(q_non), np.asarray(alpha_hat), null_common, null_bg,
@@ -449,6 +454,7 @@ def run(
 
     ci_cols = None
     if ci:
+        common.progress("fel", "profile-likelihood CIs on site dN/dS")
         ci_cols = _profile_ci(
             site_loglik, specs, srv, has_background, mh_est, mh_triple,
             alt_alpha, alt_beta, alt_bg, site_delta, site_psi, alt_lnl,

@@ -1,12 +1,21 @@
 """FitMultiModel (FMM) — compare codon models with double / triple
 instantaneous substitutions.
 
-Reference: ``res/TemplateBatchFiles/FitMultiModel.bf``.  Pipeline:
-nucleotide GTR fit -> standard MG94xREV fit -> MG94xREV + double-hit rate
-(delta, ``MG_REV_MH.bf``) -> MG94xREV + double & triple hits (delta, psi,
-``MG_REV_TRIP.bf``); LRTs between nested pairs (chi^2 with 1 / 1 / 2 df)
-and per-site evidence ratios exp(site lnL_MH - site lnL_standard) flag
-sites driving multi-hit support (FitMultiModel.bf ~"Evidence Ratios").
+Reference: ``res/TemplateBatchFiles/SelectionAnalyses/FitMultiModel.bf``.
+Pipeline: nucleotide GTR fit -> partitioned MG94 hand-off -> three global
+fits, each (by default) with a 3-class general-discrete site-level omega
+distribution (``FitMultiModel.bf:25`` rate_classes = 3, GDD factory
+``:210``):
+
+  * Standard MG94 (single-hit),
+  * MG94 + double-hit rate delta (``MG_REV_MH.bf``),
+  * MG94 + double & triple hits (delta, psi, ``MG_REV_TRIP.bf``;
+    ``--triple-islands`` adds a separate synonymous 3-hit rate).
+
+LRTs between nested pairs (chi^2 with 1 / 1 / 2 df) and per-site
+evidence ratios exp(site lnL_MH - site lnL_standard) flag sites driving
+multi-hit support (golden: ``FMM.wbf`` — 1H -3405.53, 2H -3403.03,
+2H:1H p = 0.0251, sum ER(3H) = 187).
 """
 
 from __future__ import annotations
@@ -20,7 +29,7 @@ import numpy as np
 from hyphy_tpu.io.json_out import analysis_json, model_fit_entry
 from hyphy_tpu.likelihood import LikelihoodFunction, Partition
 from hyphy_tpu.methods import common
-from hyphy_tpu.models.codon import MG94xREVMultiHit
+from hyphy_tpu.models.codon import MG94xREVMultiHitGDD
 
 
 @dataclasses.dataclass
@@ -34,22 +43,37 @@ class FMMResult:
     data: common.LoadedData
 
 
-def _fit_mh(data, mg, triple: bool, precision: float):
-    model = MG94xREVMultiHit(
+def _fit_one(data, mg, hits: str, rate_classes: int, triple_islands: bool,
+             precision: float, prev=None):
+    model = MG94xREVMultiHitGDD(
         data.genetic_code,
         mg.corner_freqs,
         mg.codon_freqs,
         branch_groups=data.branch_groups,
         n_groups=int(data.branch_groups.max()) + 1,
-        triple=triple,
+        hits=hits,
+        rate_classes=rate_classes,
+        triple_islands=triple_islands,
     )
     lf = LikelihoodFunction([Partition(data.codon_filter, data.tree, model)])
     init = {k: jnp.asarray(v) for k, v in mg.params.items() if k.startswith("theta")}
-    init["omega"] = jnp.asarray(mg.omegas)
     init["alpha"] = jnp.asarray(mg.alphas)
-    init["delta"] = jnp.asarray(0.05)
-    if triple:
+    if rate_classes > 1:
+        omega0 = float(np.mean(mg.omegas))
+        init["omega_c"] = jnp.asarray(
+            [omega0 * f for f in np.linspace(0.35, 2.2, rate_classes)]
+        )
+        init["omega_w"] = jnp.full((rate_classes - 1,), 0.55)
+    else:
+        init["omega"] = jnp.asarray(mg.omegas)
+    if hits != "None":
+        init["delta"] = jnp.asarray(0.05)
+    if hits == "Double+Triple":
         init["psi"] = jnp.asarray(0.05)
+        if triple_islands:
+            init["psi_syn"] = jnp.asarray(0.05)
+    if prev is not None:  # warm-start from the nested fit
+        init.update({k: v for k, v in prev.params.items() if k in lf.specs})
     res = lf.fit(init=init, precision=precision)
     site_lnl = np.asarray(lf.site_log_likelihoods(res.params)[0])
     return res, model, site_lnl
@@ -59,36 +83,54 @@ def run(
     alignment: str,
     genetic_code: str = "Universal",
     tree: Optional[str] = None,
+    rate_classes: int = 3,
+    triple_islands: bool = False,
     precision: float = 1e-5,
 ) -> FMMResult:
     data = common.load_codon_data(alignment, genetic_code, tree, "All")
     gtr = common.fit_gtr(data, precision=precision)
-    mg = common.fit_partitioned_mg94(data, gtr, precision=precision)
+    mg = common.fit_partitioned_mg94(data, gtr, precision=precision,
+                                     refit_lengths=False)
 
-    # per-site vectors under the standard model
-    lf_std = LikelihoodFunction(
-        [Partition(data.codon_filter, data.tree, mg.model)]
+    res1, model1, site1 = _fit_one(
+        data, mg, "None", rate_classes, False, precision
     )
-    std_site_lnl = np.asarray(
-        lf_std.site_log_likelihoods(
-            {k: jnp.asarray(v) for k, v in mg.params.items()}
-        )[0]
+    res2, model2, site2 = _fit_one(
+        data, mg, "Double", rate_classes, False, precision, prev=res1
+    )
+    res3, model3, site3 = _fit_one(
+        data, mg, "Double+Triple", rate_classes, triple_islands, precision,
+        prev=res2,
     )
 
-    res2, model2, site2 = _fit_mh(data, mg, triple=False, precision=precision)
-    res3, model3, site3 = _fit_mh(data, mg, triple=True, precision=precision)
-
-    lrt21, p21 = common.lrt(res2.loglik, mg.loglik, 1)
-    lrt32, p32 = common.lrt(res3.loglik, res2.loglik, 1)
-    lrt31, p31 = common.lrt(res3.loglik, mg.loglik, 2)
+    lrt21, p21 = common.lrt(res2.loglik, res1.loglik, 1)
+    lrt32, p32 = common.lrt(res3.loglik, res2.loglik, 1 + int(triple_islands))
+    lrt31, p31 = common.lrt(res3.loglik, res1.loglik, 2 + int(triple_islands))
 
     dup = data.codon_filter.duplicate_map
-    er_double = np.exp(np.clip(site2[dup] - std_site_lnl[dup], -700, 700))
+    er_double = np.exp(np.clip(site2[dup] - site1[dup], -700, 700))
     er_triple = np.exp(np.clip(site3[dup] - site2[dup], -700, 700))
 
     delta2 = float(res2.params["delta"])
     delta3 = float(res3.params["delta"])
     psi3 = float(res3.params["psi"])
+
+    def dist_entry(res, model, mh_params):
+        # FMM.wbf reads ["Rate Distributions"]["parameters"][<rate term>]
+        rd = {"parameters": mh_params}
+        if rate_classes > 1:
+            omegas, weights = (
+                np.asarray(x) for x in model.class_distribution(res.params)
+            )
+            order = np.argsort(omegas)
+            rd["non-synonymous/synonymous rate ratio"] = [
+                [float(omegas[i]), float(weights[i])] for i in order
+            ]
+        return rd
+
+    _2h = "rate at which 2 nucleotides are changed instantly within a single codon"
+    _3h = "rate at which 3 nucleotides are changed instantly within a single codon"
+    _3hs = _3h + " between synonymous codon islands"
 
     json = analysis_json(
         info="FitMultiModel fits MG94xREV models allowing double and triple "
@@ -102,21 +144,24 @@ def run(
                 frequencies=gtr.frequencies, display_order=0,
             ),
             "Standard MG94": model_fit_entry(
-                mg.loglik, mg.n_parameters, data.sample_size,
+                res1.loglik, res1.n_free_parameters + 9, data.sample_size,
                 frequencies=mg.codon_freqs, display_order=1,
+                rate_distributions=dist_entry(res1, model1, {}),
             ),
             "MG94 with double instantaneous substitutions": model_fit_entry(
                 res2.loglik, res2.n_free_parameters + 9, data.sample_size,
                 frequencies=mg.codon_freqs, display_order=2,
-                rate_distributions={"rate at which 2 nucleotides are changed instantly within a single codon": [[delta2, 1.0]]},
+                rate_distributions=dist_entry(res2, model2, {_2h: delta2}),
             ),
             "MG94 with double and triple instantaneous substitutions": model_fit_entry(
                 res3.loglik, res3.n_free_parameters + 9, data.sample_size,
                 frequencies=mg.codon_freqs, display_order=3,
-                rate_distributions={
-                    "rate at which 2 nucleotides are changed instantly within a single codon": [[delta3, 1.0]],
-                    "rate at which 3 nucleotides are changed instantly within a single codon": [[psi3, 1.0]],
-                },
+                rate_distributions=dist_entry(
+                    res3, model3,
+                    {_2h: delta3, _3h: psi3,
+                     **({_3hs: float(res3.params["psi_syn"])}
+                        if triple_islands else {})},
+                ),
             ),
         },
         extra={
@@ -130,7 +175,7 @@ def run(
                 "Three-hit": [er_triple.tolist()],
             },
             "Site Log Likelihood": {
-                "Standard": [std_site_lnl[dup].tolist()],
+                "Standard": [site1[dup].tolist()],
                 "Double-hit": [site2[dup].tolist()],
                 "Triple-hit": [site3[dup].tolist()],
             },
@@ -138,7 +183,7 @@ def run(
     )
     return FMMResult(
         json=json,
-        loglik_standard=mg.loglik,
+        loglik_standard=res1.loglik,
         loglik_double=res2.loglik,
         loglik_triple=res3.loglik,
         delta=delta3,

@@ -350,8 +350,15 @@ def run(
         "potentialBreakpoints": n_potential,
         "baselineScore": baseline_caic,
         "bestModelAICc": best_caic,
+        # partition spans in the reference's format: breakpointData[p]["bps"]
+        # = [first site, last site] (1-based) of partition p (GARD.bf
+        # "bps" entries checked by GARD.wbf:16)
         "breakpointData": {
-            str(i): {"bps": [0, int(b)]} for i, b in enumerate(best_model)
+            str(i): {"bps": [int(lo), int(hi)]}
+            for i, (lo, hi) in enumerate(
+                zip([1] + [int(b) + 1 for b in best_model],
+                    [int(b) for b in best_model] + [n_sites])
+            )
         },
         "improvements": {str(k): v for k, v in improvements.items()},
         "siteBreakPointSupport": {str(k): v for k, v in site_support.items()},

@@ -197,12 +197,15 @@ def run(
     NEXUS CHARSET partitions run per-partition under one joint MG94 fit
     (golden: ``SLAC-partitioned.wbf``, lnL -5453.42)."""
     md = common.load_codon_data_multi(alignment, genetic_code, tree, branches)
+    common.progress("slac", f"{md.n_partitions} partition(s); fitting nucleotide GTR")
     gtr = common.fit_gtr_multi(md, precision=precision)
     md, gtr = common.kill_zero_branches_multi(md, gtr, branches)
     # SLAC reports the proportional (stage-1) MG94 fit (lnL -3467.319 golden)
+    common.progress("slac", f"GTR lnL {gtr.loglik:.3f}; fitting global MG94xREV")
     mg = common.fit_partitioned_mg94_multi(
         md, gtr, precision=precision, refit_lengths=False
     )
+    common.progress("slac", f"MG94 lnL {mg.loglik:.3f}; counting substitutions")
 
     content = {}
     sample_content = {k: {} for k in ("sample-median", "sample-2.5", "sample-97.5")}

@@ -351,6 +351,89 @@ class MG94xREVMultiHit(MG94Base):
         return (params["alpha"] * rs + beta * rn) / 3.0
 
 
+class MG94xREVMultiHitGDD(MG94xREVMultiHit):
+    """MG94xREV(+MH) with a K-class general-discrete (GDD) site-level
+    omega distribution — FitMultiModel's default model shape
+    (``FitMultiModel.bf:25`` rate_classes = 3; GDD factory at ``:210``).
+
+    Omega classes are free rates with stick-breaking weights; each class
+    is a site-level category (``ModelOutput.class_weights``), i.e. the
+    reference's ``_CategoryVariable`` machinery, not a branch-site
+    mixture.  ``multiple_hits``/``triple`` rates are shared by all
+    classes; ``triple_islands`` adds a separate rate for synonymous
+    3-hit substitutions (``terms.parameters.triple_hit_rate_syn``).
+    """
+
+    def __init__(self, gc, corner_freqs, codon_freqs, branch_groups,
+                 n_groups, hits="None", rate_classes=3,
+                 triple_islands=False):
+        triple = hits == "Double+Triple"
+        super().__init__(gc, corner_freqs, codon_freqs, branch_groups,
+                         n_groups, triple=triple)
+        self.hits = hits
+        self.rate_classes = rate_classes
+        self.triple_islands = triple_islands and triple
+
+    def parameter_specs(self, n_branches: int) -> Specs:
+        specs = super().parameter_specs(n_branches)
+        if self.hits == "None":
+            del specs["delta"]
+        k = self.rate_classes
+        if k > 1:
+            del specs["omega"]
+            specs["omega_c"] = ParamSpec(
+                init=0.25, lower=0.0, upper=10000.0, shape=(k,)
+            )
+            specs["omega_w"] = ParamSpec(
+                init=0.5, lower=1e-6, upper=1.0 - 1e-6, shape=(k - 1,)
+            )
+        if self.triple_islands:
+            specs["psi_syn"] = ParamSpec(init=0.05, lower=0.0, upper=100.0)
+        return specs
+
+    def _combined_bases(self, params: Params):
+        if self.hits == "None":
+            return self.basis_matrices(params)
+        if not self.triple_islands:
+            return super()._combined_bases(params)
+        q1s, q1n = self.basis_matrices(params)
+        q2s, q2n = self.multihit_basis_matrices(params, 2)
+        q3s, q3n = self.multihit_basis_matrices(params, 3)
+        qs = q1s + params["delta"] * q2s + params["psi_syn"] * q3s
+        qn = q1n + params["delta"] * q2n + params["psi"] * q3n
+        return qs, qn
+
+    def class_distribution(self, params: Params):
+        from hyphy_tpu.models.parameters import stick_breaking_weights
+
+        if self.rate_classes == 1:
+            return params["omega"][None], jnp.ones((1,))
+        return params["omega_c"], stick_breaking_weights(params["omega_w"])
+
+    def build(self, params: Params, n_branches: int) -> ModelOutput:
+        omegas, weights = self.class_distribution(params)
+        qs, qn = self._combined_bases(params)
+        m = fill_diagonal_from_rows(
+            qs[None] + omegas[:, None, None] * qn[None]
+        )                                                    # [K,S,S]
+        left, lam, right = expm_ops.reversible_spectral(m, self.frequencies)
+        # [K, B, S, S]: per-class propagators at the branch times
+        p = jax.vmap(
+            lambda l, e, r: expm_ops.spectral_propagators(l, e, r, params["alpha"])
+        )(left, lam, right)
+        return ModelOutput(
+            p_matrices=p, root_freqs=self.frequencies, class_weights=weights
+        )
+
+    def branch_lengths(self, params: Params) -> jnp.ndarray:
+        omegas, weights = self.class_distribution(params)
+        qs, qn = self._combined_bases(params)
+        rs = qs.sum(-1) @ self.frequencies
+        rn = qn.sum(-1) @ self.frequencies
+        mean_omega = jnp.sum(omegas * weights)
+        return params["alpha"] * (rs + mean_omega * rn) / 3.0
+
+
 class MG94xREV(MG94Base):
     """'Global' model type: one omega, per-branch time t
     (reference: model_type = terms.global)."""

@@ -100,11 +100,11 @@ def shared_taylor_propagators(
     dtype = q.dtype
     if terms is None:
         # series tail after K terms at argument 2: 2^(K+1)/(K+1)!
-        terms = 28 if dtype == jnp.float64 else 22
+        # (fp32: 2^17/17! ~ 4e-10 — comfortably past fp32 round-off)
+        terms = 28 if dtype == jnp.float64 else 16
     if max_squarings is None:
-        # fp32 is the TPU throughput path: keep the masked ladder short
-        # (every step is a batched [B,S,S] matmul whether needed or not)
-        # and let the saturation clamp absorb line-search probes beyond it
+        # ladder/bit depth: supports ||Q t|| up to ~2^(s+1); the saturation
+        # clamp below absorbs line-search probes beyond it
         max_squarings = 8 if dtype == jnp.float64 else 5
     s_dim = q.shape[-1]
     # normalize the generator to unit inf-norm; fold the factor into t
@@ -116,14 +116,9 @@ def shared_taylor_propagators(
     # essentially mixed (P ~ stationary), and an un-saturated argument would
     # make the truncated series diverge — producing huge finite "likelihoods"
     # that derail line searches probing large branch lengths
-    t_eff = jnp.minimum(t_eff, jnp.asarray(2.0 ** (max_squarings + 1), dtype))
-    # per-branch squarings so the series argument is <= 2 (the tail after K
-    # terms at argument 2 is 2^(K+1)/(K+1)!; e^2 cancellation amplification
-    # is a benign ~7x dtype eps)
-    sq = jnp.clip(
-        jnp.ceil(jnp.log2(jnp.maximum(t_eff, 1e-30))) - 1.0, 0, max_squarings
+    t_eff = jnp.minimum(
+        t_eff, jnp.asarray(2.0 ** (max_squarings + 1) - 0.01, dtype)
     )
-    ts = t_eff * jnp.exp2(-sq).astype(dtype)   # [B], <= 2 when not clipped
 
     eye = jnp.eye(s_dim, dtype=dtype)
 
@@ -133,23 +128,39 @@ def shared_taylor_propagators(
 
     _, pows = jax.lax.scan(next_pow, eye, None, length=terms)
     pows = jnp.concatenate([eye[None], pows], axis=0)      # [K+1, S, S]
-
-    # coef[b, k] = ts_b^k / k! via a stable running product
     ks = jnp.arange(1, terms + 1, dtype=dtype)
-    ratios = ts[:, None] / ks[None, :]                     # [B, K]
+
+    # Because every branch shares ONE generator, all P(t) commute:
+    # P(t) = Taylor(r) @ expm(2 qn)^j with t_eff = r + 2j, r in [0,2).
+    # The integer part is applied as a binary product against SHARED
+    # right-hand matrices M_k = expm(2 qn)^(2^k) — each bit step is one
+    # large [B*S, S] x [S, S] GEMM (full MXU tiles) instead of the
+    # per-branch P @ P batched-matmul squaring ladder.
+    j_int = jnp.floor(t_eff * 0.5)
+    j = j_int.astype(jnp.int32)
+    r = t_eff - 2.0 * j_int.astype(dtype)                  # [B], in [0, 2)
+
+    # coef[b, k] = r_b^k / k! via a stable running product
+    ratios = r[:, None] / ks[None, :]                      # [B, K]
     coef = jnp.cumprod(ratios, axis=1)
     coef = jnp.concatenate([jnp.ones((t.shape[0], 1), dtype=dtype), coef], axis=1)
-
     p = jnp.einsum(
         "bk,kij->bij", coef, pows, preferred_element_type=dtype
     )
 
-    def square(p, k):
-        need = (k < sq)[:, None, None]
-        return jnp.where(need, p @ p, p), None
+    coef2 = jnp.cumprod(2.0 / ks)                          # Taylor at r = 2
+    coef2 = jnp.concatenate([jnp.ones((1,), dtype), coef2])
+    m2 = jnp.einsum("k,kij->ij", coef2, pows)              # expm(2 qn)
 
-    p, _ = jax.lax.scan(
-        square, p, jnp.arange(max_squarings, dtype=sq.dtype)
+    def bit_step(carry, k):
+        p, mk = carry
+        bit = ((j >> k) & 1).astype(bool)
+        pnew = (p.reshape(-1, s_dim) @ mk).reshape(p.shape)
+        p = jnp.where(bit[:, None, None], pnew, p)
+        return (p, mk @ mk), None
+
+    (p, _), _ = jax.lax.scan(
+        bit_step, (p, m2), jnp.arange(max_squarings, dtype=jnp.int32)
     )
     p = jnp.maximum(p, 0.0)
     return row_renormalize(p)

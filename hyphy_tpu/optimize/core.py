@@ -83,6 +83,7 @@ def maximize(
         return jnp.where(jnp.isfinite(value), -value, jnp.inf)
 
     val_and_grad = jax.jit(jax.value_and_grad(neg))
+    trace = _OptimizerTrace.open(keys, specs)
 
     def fg(x):
         v, g = val_and_grad(x)
@@ -91,6 +92,8 @@ def maximize(
         if np.isnan(v):
             v = np.inf  # L-BFGS-B's line search backtracks on inf
         g[~np.isfinite(g)] = 0.0
+        if trace is not None:
+            trace.record(x, v, g)
         return v, g
 
     x = np.asarray(x0, dtype=np.float64)
@@ -126,7 +129,93 @@ def maximize(
 
     final = {k: jnp.asarray(v) for k, v in unflatten(jnp.asarray(x)).items()}
     value = objective(final)
+    if trace is not None:
+        trace.close(float(value), total_it)
     return final, value, jnp.asarray(total_it, jnp.int32)
+
+
+class _OptimizerTrace:
+    """Optimizer observability (reference: PRODUCE_OPTIMIZATION_LOG,
+    ``likefunc.cpp:4711-4760`` and VERBOSITY_LEVEL, ``hbl_env.cpp``).
+
+    ``HYPHY_TPU_OPT_LOG=<path>``: append one JSON line per fit with the
+    lnL trajectory (every evaluation: lnL + max |gradient|), the final
+    parameter names/values, and iteration counts — enough to replay a
+    mis-converged fit offline.  ``HYPHY_TPU_VERBOSITY>=1`` additionally
+    echoes evaluations to stderr every ``2^ceil(log2(n))``-ish calls.
+    """
+
+    def __init__(self, path, verbosity, keys, specs):
+        self.path = path
+        self.verbosity = verbosity
+        self.keys = keys
+        self.specs = specs
+        self.trajectory = []
+        self.n_calls = 0
+        self.x_last = None
+        import time as _time
+
+        self.t0 = _time.time()
+
+    @classmethod
+    def open(cls, keys, specs):
+        import os as _os
+
+        path = _os.environ.get("HYPHY_TPU_OPT_LOG")
+        verbosity = int(_os.environ.get("HYPHY_TPU_VERBOSITY", "0") or 0)
+        if not path and verbosity < 1:
+            return None
+        return cls(path, verbosity, keys, specs)
+
+    def record(self, x, v, g):
+        import sys as _sys
+
+        self.n_calls += 1
+        self.x_last = np.asarray(x)
+        gmax = float(np.max(np.abs(g))) if g.size else 0.0
+        self.trajectory.append((round(-v, 6), round(gmax, 6)))
+        if self.verbosity >= 2 or (
+            self.verbosity == 1 and (self.n_calls & (self.n_calls - 1)) == 0
+        ):
+            print(
+                f"[opt] eval {self.n_calls}: lnL {-v:.6f} max|g| {gmax:.3g}",
+                file=_sys.stderr, flush=True,
+            )
+
+    def close(self, value, iterations):
+        import json as _json
+        import sys as _sys
+        import time as _time
+
+        if self.verbosity >= 1:
+            print(
+                f"[opt] done: lnL {value:.6f} after {self.n_calls} evals / "
+                f"{iterations} iterations ({_time.time() - self.t0:.1f}s)",
+                file=_sys.stderr, flush=True,
+            )
+        if not self.path:
+            return
+        entry = {
+            "lnL": value,
+            "iterations": int(iterations),
+            "evaluations": self.n_calls,
+            "seconds": round(_time.time() - self.t0, 3),
+            "trajectory": self.trajectory,
+            "parameters": {k: self._param(k) for k in self.keys},
+        }
+        with open(self.path, "a") as fh:
+            fh.write(_json.dumps(entry) + "\n")
+
+    def _param(self, key):
+        ofs = 0
+        for k in self.keys:
+            s = self.specs[k]
+            n = int(np.prod(s.shape)) if s.shape else 1
+            if k == key:
+                vals = self.x_last[ofs : ofs + n]
+                return vals.tolist() if n > 1 else float(vals[0])
+            ofs += n
+        return None
 
 
 def maximize_jax(

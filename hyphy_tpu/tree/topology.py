@@ -148,7 +148,12 @@ class Tree:
     # -- branch selections (reference: trees.bf branch-set machinery) -------
 
     def select_branches(self, which: str) -> np.ndarray:
-        """Branch-id mask for 'All' / 'Internal' / 'Leaves' / a {label}."""
+        """Branch-id mask for 'All' / 'Internal' / 'Leaves' / a {label} /
+        a comma-separated branch-name list / a regular expression over
+        branch names (reference: ``libv3/tasks/trees.bf`` selectors —
+        named sets, and regex matching via ``regexp.find``)."""
+        import re as _re
+
         n = self.n_branches
         mask = np.zeros(n, dtype=bool)
         key = which.strip().lower()
@@ -163,6 +168,24 @@ class Tree:
                 lbl = self.labels[b]
                 if lbl is not None and lbl.lower() == key:
                     mask[b] = True
+            if not mask.any():
+                # explicit branch-name list: "name1,name2,..."
+                wanted = {w.strip().lower() for w in which.split(",") if w.strip()}
+                name_of = {self.names[b].lower(): b for b in range(n)}
+                if wanted and wanted <= set(name_of):
+                    for w in wanted:
+                        mask[name_of[w]] = True
+            if not mask.any():
+                # regex over branch names (case-insensitive, search
+                # semantics like the reference's regexp selectors)
+                try:
+                    pat = _re.compile(which, _re.IGNORECASE)
+                except _re.error:
+                    pat = None
+                if pat is not None:
+                    for b in range(n):
+                        if pat.search(self.names[b]):
+                            mask[b] = True
             if not mask.any():
                 raise ValueError(f"no branches labeled {which!r}")
         return mask
