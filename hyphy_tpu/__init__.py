@@ -39,6 +39,26 @@ _platform = os.environ.get("HYPHY_TPU_PLATFORM")
 if _platform:
     jax.config.update("jax_platforms", _platform)
 
+# Persistent XLA compilation cache: analyses recompile the same likelihood
+# programs on every invocation; caching makes repeat runs compile-free
+# (whole-gene fits and the bench benefit most; per-site fit stages are
+# compute-dominated).
+# Auto-enabled for accelerator backends; on the CPU backend XLA's AOT
+# loader can resurrect executables with mismatched machine features
+# (risking SIGILL), so CPU runs only cache when HYPHY_TPU_COMPILE_CACHE
+# is set explicitly.  Disable entirely with HYPHY_TPU_COMPILE_CACHE=0.
+_cache = os.environ.get("HYPHY_TPU_COMPILE_CACHE")
+if _cache is None and _platform and _platform != "cpu":
+    _cache = os.path.join(os.path.expanduser("~"), ".cache", "hyphy_tpu", "xla")
+if _cache and _cache != "0":
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 1000)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover — cache is best-effort
+        pass
+
 __version__ = "0.1.0"
 
 from hyphy_tpu.config import settings  # noqa: E402

@@ -78,6 +78,14 @@ class LikelihoodFunction:
         self._weights = []
         for p in self.partitions:
             lp = p.filter.leaf_partials()
+            # align filter rows to the TREE's leaf order (the CLV buffer is
+            # indexed by tree leaf ids) — reference MapTreeTipsToData
+            # (likefunc.h:579); an NJ-inferred topology orders its tips by
+            # join history, not by filter row
+            tree_leaves = list(p.tree.names[: p.tree.n_leaves])
+            if list(p.filter.names) != tree_leaves:
+                order = [p.filter.names.index(nm) for nm in tree_leaves]
+                lp = lp[np.asarray(order)]
             w = np.asarray(p.filter.pattern_weights, dtype=np.float64)
             if pattern_bucket:
                 n = lp.shape[1]

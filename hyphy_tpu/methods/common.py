@@ -480,6 +480,7 @@ def fit_partitioned_mg94_multi(
     precision: float = 1e-5,
     frequency_method: str = "CF3x4",
     refit_lengths: bool = True,
+    multiple_hits: str = "None",
 ) -> MultiMG94Fit:
     """Joint 'Global MG94xREV' fit across partitions: shared thetas and
     omega(s), per-partition branch-length scalers then (stage 2) free
@@ -489,6 +490,7 @@ def fit_partitioned_mg94_multi(
         f = fit_partitioned_mg94(
             md.parts[0], gtr.parts[0], precision=precision,
             frequency_method=frequency_method, refit_lengths=refit_lengths,
+            multiple_hits=multiple_hits,
         )
         return MultiMG94Fit(
             loglik=f.loglik, parts=[f], omegas=f.omegas,
@@ -511,6 +513,7 @@ def fit_partitioned_mg94_multi(
                 branch_groups=p.branch_groups,
                 n_groups=n_groups,
                 free_lengths=free_lengths,
+                multiple_hits=multiple_hits,
             )
             for p, g in zip(md.parts, gtr.parts)
         ]
@@ -527,6 +530,10 @@ def fit_partitioned_mg94_multi(
         if k.startswith("theta") and k in lf.specs
     }
     init: Dict[str, jnp.ndarray] = {"omega": jnp.full((n_groups,), 0.25)}
+    if multiple_hits != "None":
+        init["delta"] = jnp.asarray(0.05)
+        if multiple_hits == "Double+Triple":
+            init["psi"] = jnp.asarray(0.05)
     for i in range(md.n_partitions):
         init[lf.partition_key(i, "scaler")] = jnp.asarray(3.0)
     res = lf.fit(init=init, fixed=fixed_thetas, precision=precision)
@@ -547,7 +554,7 @@ def fit_partitioned_mg94_multi(
         ])
         init2 = {
             k: v for k, v in res.params.items()
-            if k == "omega" or k.startswith("theta")
+            if k in ("omega", "delta", "psi") or k.startswith("theta")
         }
         for i, g in enumerate(gtr.parts):
             init2[lf.partition_key(i, "alpha")] = scalers[i] * jnp.asarray(

@@ -264,274 +264,290 @@ def run(
     mh = multiple_hits not in (None, "None", "")
     mh_triple = multiple_hits == "Double+Triple"
     mh_est = mh and site_multihit == "Estimate"
-    data = common.load_codon_data(alignment, genetic_code, tree, branches)
-    common.progress("fel", "fitting nucleotide GTR")
-    gtr = common.fit_gtr(data, precision=precision)
+    md = common.load_codon_data_multi(alignment, genetic_code, tree, branches)
+    common.progress("fel", f"{md.n_partitions} partition(s); fitting nucleotide GTR")
+    gtr = common.fit_gtr_multi(md, precision=precision)
+    md, gtr = common.kill_zero_branches_multi(md, gtr, branches)
     common.progress("fel", f"GTR lnL {gtr.loglik:.3f}; fitting global MG94xREV")
-    mg = common.fit_partitioned_mg94(
-        data, gtr, precision=precision, multiple_hits=multiple_hits
+    mg = common.fit_partitioned_mg94_multi(
+        md, gtr, precision=precision, multiple_hits=multiple_hits
     )
     common.progress("fel", f"MG94 lnL {mg.loglik:.3f}; per-site fits")
 
-    filt = data.codon_filter
-    tested = data.tested_branches
-    has_background = bool((~tested).any())
-    n_patterns = filt.n_patterns
+    def _solve_partition(data, mgp):
 
-    model = mg.model
-    delta_hat = float(mg.params.get("delta", 0.0)) if mh else 0.0
-    psi_hat = float(mg.params.get("psi", 0.0)) if mh_triple else 0.0
-    if mh:
-        # folded single+multi-hit bases at the global delta/psi MLEs
-        q_syn, q_non = model.combined_basis_matrices(mg.params)
-        q1_syn, q1_non = model.basis_matrices(mg.params)
-        q2_syn, q2_non = model.multihit_basis_matrices(mg.params, 2)
-        q3 = model.multihit_basis_matrices(mg.params, 3) if mh_triple else None
-    else:
-        q_syn, q_non = model.basis_matrices(mg.params)
-    rate_syn = q_syn.sum(-1) @ model.frequencies
-    rate_non = q_non.sum(-1) @ model.frequencies
-    alpha_hat = jnp.asarray(mg.alphas)              # [B] branch synRate MLEs
-    freqs = model.frequencies
-    group_of_branch = jnp.asarray(np.where(tested, 0, 1).astype(np.int32))
-    n_groups = 2 if has_background else 1
-    leaf_partials = jnp.asarray(filt.leaf_partials())   # [taxa, patterns, S]
-    pdata = pruning.build_pruning_data(data.tree)
-    tested_j = jnp.asarray(tested.astype(np.float64))
+        filt = data.codon_filter
+        tested = data.tested_branches
+        has_background = bool((~tested).any())
+        n_patterns = filt.n_patterns
 
-    def _bases(scalers):
-        """(Q_syn, Q_nonsyn) for one site's fit: global-plug-in folded
-        bases, or per-site delta/psi folds when site_multihit=Estimate."""
-        if not mh_est:
-            return q_syn, q_non
-        d = scalers["delta"]
-        qs = q1_syn + d * q2_syn
-        qn = q1_non + d * q2_non
-        if mh_triple:
-            qs = qs + scalers["psi"] * q3[0]
-            qn = qn + scalers["psi"] * q3[1]
-        return qs, qn
+        model = mgp.model
+        delta_hat = float(mgp.params.get("delta", 0.0)) if mh else 0.0
+        psi_hat = float(mgp.params.get("psi", 0.0)) if mh_triple else 0.0
+        if mh:
+            # folded single+multi-hit bases at the global delta/psi MLEs
+            q_syn, q_non = model.combined_basis_matrices(mgp.params)
+            q1_syn, q1_non = model.basis_matrices(mgp.params)
+            q2_syn, q2_non = model.multihit_basis_matrices(mgp.params, 2)
+            q3 = model.multihit_basis_matrices(mgp.params, 3) if mh_triple else None
+        else:
+            q_syn, q_non = model.basis_matrices(mgp.params)
+        rate_syn = q_syn.sum(-1) @ model.frequencies
+        rate_non = q_non.sum(-1) @ model.frequencies
+        alpha_hat = jnp.asarray(mgp.alphas)              # [B] branch synRate MLEs
+        freqs = model.frequencies
+        group_of_branch = jnp.asarray(np.where(tested, 0, 1).astype(np.int32))
+        n_groups = 2 if has_background else 1
+        leaf_partials = jnp.asarray(filt.leaf_partials())   # [taxa, patterns, S]
+        pdata = pruning.build_pruning_data(data.tree)
+        tested_j = jnp.asarray(tested.astype(np.float64))
 
-    def _loglik_vectors(leaf_vecs, a, beta_list, scalers=None):
-        """lnL for explicit [taxa, S] leaf vectors with alpha scaler ``a``
-        and per-group beta scalers; branch rates are alpha_hat_b * scaler.
-        Spectral factors act on CLV vectors (no P materialization) — the
-        per-site fast path."""
-        qs, qn = _bases(scalers or {})
-        b = jnp.stack(beta_list)                                # [G]
-        m = fill_diagonal_from_rows(
-            a * qs[None] + b[:, None, None] * qn[None]
-        )                                                        # [G,S,S]
-        left, lam, right = expm_ops.reversible_spectral(m, freqs)
-        if has_background:
+        def _bases(scalers):
+            """(Q_syn, Q_nonsyn) for one site's fit: global-plug-in folded
+            bases, or per-site delta/psi folds when site_multihit=Estimate."""
+            if not mh_est:
+                return q_syn, q_non
+            d = scalers["delta"]
+            qs = q1_syn + d * q2_syn
+            qn = q1_non + d * q2_non
+            if mh_triple:
+                qs = qs + scalers["psi"] * q3[0]
+                qn = qn + scalers["psi"] * q3[1]
+            return qs, qn
+
+        def _loglik_vectors(leaf_vecs, a, beta_list, scalers=None):
+            """lnL for explicit [taxa, S] leaf vectors with alpha scaler ``a``
+            and per-group beta scalers; branch rates are alpha_hat_b * scaler.
+            Spectral factors act on CLV vectors (no P materialization) — the
+            per-site fast path."""
+            qs, qn = _bases(scalers or {})
+            b = jnp.stack(beta_list)                                # [G]
+            m = fill_diagonal_from_rows(
+                a * qs[None] + b[:, None, None] * qn[None]
+            )                                                        # [G,S,S]
+            left, lam, right = expm_ops.reversible_spectral(m, freqs)
+            if has_background:
+                return pruning.single_site_log_likelihood_spectral(
+                    left[group_of_branch], lam[group_of_branch],
+                    right[group_of_branch], alpha_hat, leaf_vecs, freqs, pdata,
+                )
             return pruning.single_site_log_likelihood_spectral(
-                left[group_of_branch], lam[group_of_branch],
-                right[group_of_branch], alpha_hat, leaf_vecs, freqs, pdata,
+                left[0], lam[0], right[0], alpha_hat, leaf_vecs, freqs, pdata,
             )
-        return pruning.single_site_log_likelihood_spectral(
-            left[0], lam[0], right[0], alpha_hat, leaf_vecs, freqs, pdata,
-        )
 
-    def _loglik_core(i, a, beta_list, scalers=None):
-        return _loglik_vectors(leaf_partials[:, i, :], a, beta_list, scalers)
+        def _loglik_core(i, a, beta_list, scalers=None):
+            return _loglik_vectors(leaf_partials[:, i, :], a, beta_list, scalers)
 
-    def site_loglik(i, scalers):
-        a = scalers["alpha"] if srv else jnp.ones(())
-        betas = [scalers["beta_test"]]
-        if has_background:
-            betas.append(scalers["beta_nuisance"])
-        return _loglik_core(i, a, betas, scalers)
-
-    # -- alternative fits ---------------------------------------------------
-    if srv:
-        specs = {
-            "alpha": ParamSpec(init=1.0, lower=0.0, upper=10000.0),
-            "beta_test": ParamSpec(init=1.0, lower=0.0, upper=10000.0),
-        }
-        grid = {
-            "alpha": jnp.asarray(_SRV_GRID[:, 0]),
-            "beta_test": jnp.asarray(_SRV_GRID[:, 1]),
-        }
-        if has_background:
-            grid["beta_nuisance"] = jnp.asarray(_SRV_GRID[:, 1])
-    else:
-        specs = {"beta_test": ParamSpec(init=1.0, lower=0.0, upper=10000.0)}
-        grid = {"beta_test": jnp.asarray(_NOSRV_GRID)}
-        if has_background:
-            grid["beta_nuisance"] = jnp.asarray(_NOSRV_GRID)
-    if has_background:
-        specs["beta_nuisance"] = ParamSpec(init=1.0, lower=0.0, upper=10000.0)
-    if mh_est:
-        n_grid = next(iter(grid.values())).shape[0]
-        specs["delta"] = ParamSpec(init=max(delta_hat, 1e-3), lower=0.0, upper=100.0)
-        grid["delta"] = jnp.full((n_grid,), delta_hat)
-        if mh_triple:
-            specs["psi"] = ParamSpec(init=max(psi_hat, 1e-3), lower=0.0, upper=100.0)
-            grid["psi"] = jnp.full((n_grid,), psi_hat)
-
-    def fit_all_sites(idx, _init):
-        starts, _ = grid_best_starts(site_loglik, grid, idx)
-        alt_params, alt_lnl = vmapped_nelder_mead(
-            site_loglik, specs, starts, idx
-        )
-        alt_alpha = alt_params["alpha"] if srv else jnp.ones(idx.shape[0])
-        alt_beta = alt_params["beta_test"]
-
-        # null: beta_test := alpha (a free common scaler even without SRV —
-        # the reference's `=` assignment clears the alpha := 1 constraint),
-        # started from the reference's blend (FEL.bf:777-785)
-        null_specs = {"alpha": ParamSpec(init=1.0, lower=0.0, upper=10000.0)}
-        null_start = {
-            "alpha": (jnp.minimum(alt_alpha, 100.0) + 3.0 * jnp.minimum(alt_beta, 100.0)) / 4.0
-        }
-        if has_background:
-            null_specs["beta_nuisance"] = specs["beta_nuisance"]
-            null_start["beta_nuisance"] = alt_params["beta_nuisance"]
-        if mh_est:
-            for k in ("delta", "psi") if mh_triple else ("delta",):
-                null_specs[k] = specs[k]
-                null_start[k] = alt_params[k]
-
-        def null_loglik(i, scalers):
-            betas = [scalers["alpha"]]
+        def site_loglik(i, scalers):
+            a = scalers["alpha"] if srv else jnp.ones(())
+            betas = [scalers["beta_test"]]
             if has_background:
                 betas.append(scalers["beta_nuisance"])
-            return _loglik_core(i, scalers["alpha"], betas, scalers)
+            return _loglik_core(i, a, betas, scalers)
 
-        null_params, null_lnl = vmapped_nelder_mead(
-            null_loglik, null_specs, null_start, idx
-        )
-        null_common = null_params["alpha"]
-
-        # per-site total tested branch length at the null fit
-        # (reference: BranchLength(tree,-1) . selected_branches, FEL.bf:800)
-        a_b = null_common[:, None] * alpha_hat[None, :]
-        beta_b = null_common[:, None] * alpha_hat[None, :]
-        # /3: codon branch lengths are per nucleotide site
-        bl = (a_b * rate_syn + beta_b * rate_non) / 3.0
-        total_bl = bl @ tested_j
-        null_bg = (
-            null_params["beta_nuisance"] if has_background
-            else jnp.ones_like(null_common)
-        )
-        out = (alt_alpha, alt_beta, alt_lnl, null_common, null_lnl,
-               total_bl, null_bg)
+        # -- alternative fits ---------------------------------------------------
+        if srv:
+            specs = {
+                "alpha": ParamSpec(init=1.0, lower=0.0, upper=10000.0),
+                "beta_test": ParamSpec(init=1.0, lower=0.0, upper=10000.0),
+            }
+            grid = {
+                "alpha": jnp.asarray(_SRV_GRID[:, 0]),
+                "beta_test": jnp.asarray(_SRV_GRID[:, 1]),
+            }
+            if has_background:
+                grid["beta_nuisance"] = jnp.asarray(_SRV_GRID[:, 1])
+        else:
+            specs = {"beta_test": ParamSpec(init=1.0, lower=0.0, upper=10000.0)}
+            grid = {"beta_test": jnp.asarray(_NOSRV_GRID)}
+            if has_background:
+                grid["beta_nuisance"] = jnp.asarray(_NOSRV_GRID)
+        if has_background:
+            specs["beta_nuisance"] = ParamSpec(init=1.0, lower=0.0, upper=10000.0)
         if mh_est:
-            out = out + (alt_params["delta"],)
+            n_grid = next(iter(grid.values())).shape[0]
+            specs["delta"] = ParamSpec(init=max(delta_hat, 1e-3), lower=0.0, upper=100.0)
+            grid["delta"] = jnp.full((n_grid,), delta_hat)
             if mh_triple:
-                out = out + (alt_params["psi"],)
-        if ci or has_background:
-            out = out + (
-                alt_params["beta_nuisance"] if has_background
-                else jnp.ones_like(null_common),
+                specs["psi"] = ParamSpec(init=max(psi_hat, 1e-3), lower=0.0, upper=100.0)
+                grid["psi"] = jnp.full((n_grid,), psi_hat)
+
+        def fit_all_sites(idx, _init):
+            starts, _ = grid_best_starts(site_loglik, grid, idx)
+            alt_params, alt_lnl = vmapped_nelder_mead(
+                site_loglik, specs, starts, idx
             )
-        return out
+            alt_alpha = alt_params["alpha"] if srv else jnp.ones(idx.shape[0])
+            alt_beta = alt_params["beta_test"]
 
-    from hyphy_tpu.parallel.mesh import sharded_site_solve
+            # null: beta_test := alpha (a free common scaler even without SRV —
+            # the reference's `=` assignment clears the alpha := 1 constraint),
+            # started from the reference's blend (FEL.bf:777-785)
+            null_specs = {"alpha": ParamSpec(init=1.0, lower=0.0, upper=10000.0)}
+            null_start = {
+                "alpha": (jnp.minimum(alt_alpha, 100.0) + 3.0 * jnp.minimum(alt_beta, 100.0)) / 4.0
+            }
+            if has_background:
+                null_specs["beta_nuisance"] = specs["beta_nuisance"]
+                null_start["beta_nuisance"] = alt_params["beta_nuisance"]
+            if mh_est:
+                for k in ("delta", "psi") if mh_triple else ("delta",):
+                    null_specs[k] = specs[k]
+                    null_start[k] = alt_params[k]
 
-    fit_out = [np.array(x) for x in sharded_site_solve(fit_all_sites, {}, n_patterns)]
-    common.progress("fel", "per-site fits done")
-    (alt_alpha, alt_beta, alt_lnl, null_common, null_lnl, total_bl,
-     null_bg) = fit_out[:7]
-    pos = 7
-    site_delta = site_psi = None
-    if mh_est:
-        site_delta = fit_out[pos]; pos += 1
-        if mh_triple:
-            site_psi = fit_out[pos]; pos += 1
-    alt_bg = fit_out[pos] if (ci or has_background) else None
-    lrt = np.maximum(2.0 * (alt_lnl - null_lnl), 0.0)
-    pvals = np.array([common.chi2_sf(x, 1) for x in lrt])
-    p_asymptotic = pvals
+            def null_loglik(i, scalers):
+                betas = [scalers["alpha"]]
+                if has_background:
+                    betas.append(scalers["beta_nuisance"])
+                return _loglik_core(i, scalers["alpha"], betas, scalers)
 
-    if resample > 0:
-        common.progress("fel", f"parametric bootstrap: {resample} replicates/site")
-        pvals = _bootstrap_pvalues(
-            resample, resample_seed, data, filt, model, mg, np.asarray(q_syn),
-            np.asarray(q_non), np.asarray(alpha_hat), null_common, null_bg,
-            lrt, _loglik_vectors, specs, grid, srv, has_background,
-        )
+            null_params, null_lnl = vmapped_nelder_mead(
+                null_loglik, null_specs, null_start, idx
+            )
+            null_common = null_params["alpha"]
 
-    ci_cols = None
-    if ci:
-        common.progress("fel", "profile-likelihood CIs on site dN/dS")
-        ci_cols = _profile_ci(
-            site_loglik, specs, srv, has_background, mh_est, mh_triple,
-            alt_alpha, alt_beta, alt_bg, site_delta, site_psi, alt_lnl,
-            n_patterns,
-        )
+            # per-site total tested branch length at the null fit
+            # (reference: BranchLength(tree,-1) . selected_branches, FEL.bf:800)
+            a_b = null_common[:, None] * alpha_hat[None, :]
+            beta_b = null_common[:, None] * alpha_hat[None, :]
+            # /3: codon branch lengths are per nucleotide site
+            bl = (a_b * rate_syn + beta_b * rate_non) / 3.0
+            total_bl = bl @ tested_j
+            null_bg = (
+                null_params["beta_nuisance"] if has_background
+                else jnp.ones_like(null_common)
+            )
+            out = (alt_alpha, alt_beta, alt_lnl, null_common, null_lnl,
+                   total_bl, null_bg)
+            if mh_est:
+                out = out + (alt_params["delta"],)
+                if mh_triple:
+                    out = out + (alt_params["psi"],)
+            if ci or has_background:
+                out = out + (
+                    alt_params["beta_nuisance"] if has_background
+                    else jnp.ones_like(null_common),
+                )
+            return out
 
-    # constant patterns are not fit (FEL.bf: is_constant -> zero row)
-    constant = filt.constant_pattern_mask()
-    for arr, val in (
-        (alt_alpha, 0.0), (alt_beta, 0.0), (null_common, 0.0),
-        (lrt, 0.0), (pvals, 1.0), (total_bl, 0.0),
-    ):
-        arr[constant] = val
-    if ci_cols is not None:
-        for arr in ci_cols:
-            arr[constant] = 0.0
-    if site_delta is not None:
-        site_delta[constant] = 0.0
-    if site_psi is not None:
-        site_psi[constant] = 0.0
+        from hyphy_tpu.parallel.mesh import sharded_site_solve
 
-    dup = filt.duplicate_map
-    columns = [alt_alpha, alt_beta, null_common, lrt, pvals, total_bl]
-    headers = [
-        ["alpha", "Synonymous substitution rate at a site"],
-        ["beta", "Non-synonymous substitution rate at a site"],
-        ["alpha=beta", "The rate estimate under the neutral model"],
-        ["LRT", "Likelihood ratio test statistic for beta = alpha, versus beta &neq; alpha"],
-        ["p-value", "Likelihood ratio test statistic for beta = alpha, versus beta &neq; alpha"],
-        ["Total branch length", "The total length of branches contributing to inference at this site, and used to scale dN-dS"],
-    ]
-    # column order mirrors FEL.bf:174-270: base, [ci x3], [p-asmp], [2H], [3H]
-    if ci:
-        columns += list(ci_cols)
-        headers += [
-            ["dN/dS LB", "95% profile likelihood CI lower bound for dN/dS (if available)"],
-            ["dN/dS MLE", "Point estimate for site dN/dS"],
-            ["dN/dS UB", "95% profile likelihood CI upper bound for dN/dS (if available)"],
+        fit_out = [np.array(x) for x in sharded_site_solve(fit_all_sites, {}, n_patterns)]
+        common.progress("fel", "per-site fits done")
+        (alt_alpha, alt_beta, alt_lnl, null_common, null_lnl, total_bl,
+         null_bg) = fit_out[:7]
+        pos = 7
+        site_delta = site_psi = None
+        if mh_est:
+            site_delta = fit_out[pos]; pos += 1
+            if mh_triple:
+                site_psi = fit_out[pos]; pos += 1
+        alt_bg = fit_out[pos] if (ci or has_background) else None
+        lrt = np.maximum(2.0 * (alt_lnl - null_lnl), 0.0)
+        pvals = np.array([common.chi2_sf(x, 1) for x in lrt])
+        p_asymptotic = pvals
+
+        if resample > 0:
+            common.progress("fel", f"parametric bootstrap: {resample} replicates/site")
+            pvals = _bootstrap_pvalues(
+                resample, resample_seed, data, filt, model, mgp, np.asarray(q_syn),
+                np.asarray(q_non), np.asarray(alpha_hat), null_common, null_bg,
+                lrt, _loglik_vectors, specs, grid, srv, has_background,
+            )
+
+        ci_cols = None
+        if ci:
+            common.progress("fel", "profile-likelihood CIs on site dN/dS")
+            ci_cols = _profile_ci(
+                site_loglik, specs, srv, has_background, mh_est, mh_triple,
+                alt_alpha, alt_beta, alt_bg, site_delta, site_psi, alt_lnl,
+                n_patterns,
+            )
+
+        # constant patterns are not fit (FEL.bf: is_constant -> zero row)
+        constant = filt.constant_pattern_mask()
+        for arr, val in (
+            (alt_alpha, 0.0), (alt_beta, 0.0), (null_common, 0.0),
+            (lrt, 0.0), (pvals, 1.0), (total_bl, 0.0),
+        ):
+            arr[constant] = val
+        if ci_cols is not None:
+            for arr in ci_cols:
+                arr[constant] = 0.0
+        if site_delta is not None:
+            site_delta[constant] = 0.0
+        if site_psi is not None:
+            site_psi[constant] = 0.0
+
+        dup = filt.duplicate_map
+        columns = [alt_alpha, alt_beta, null_common, lrt, pvals, total_bl]
+        headers = [
+            ["alpha", "Synonymous substitution rate at a site"],
+            ["beta", "Non-synonymous substitution rate at a site"],
+            ["alpha=beta", "The rate estimate under the neutral model"],
+            ["LRT", "Likelihood ratio test statistic for beta = alpha, versus beta &neq; alpha"],
+            ["p-value", "Likelihood ratio test statistic for beta = alpha, versus beta &neq; alpha"],
+            ["Total branch length", "The total length of branches contributing to inference at this site, and used to scale dN-dS"],
         ]
-    if resample > 0:
-        columns.append(p_asymptotic)
-        headers.append(["p-asmp", "p-value derived from the asymptotic test statistic"])
-    if mh:
-        columns.append(site_delta if mh_est else np.full(n_patterns, delta_hat))
-        headers.append(["2H rate", "Site-level rate for 2-nucleotide substitutions"])
-        if mh_triple:
-            columns.append(site_psi if mh_est else np.full(n_patterns, psi_hat))
-            headers.append(["3H rate", "Site-level rate for 3-nucleotide substitutions"])
-    site_table = np.stack([c[dup] for c in columns], axis=1)
+        # column order mirrors FEL.bf:174-270: base, [ci x3], [p-asmp], [2H], [3H]
+        if ci:
+            columns += list(ci_cols)
+            headers += [
+                ["dN/dS LB", "95% profile likelihood CI lower bound for dN/dS (if available)"],
+                ["dN/dS MLE", "Point estimate for site dN/dS"],
+                ["dN/dS UB", "95% profile likelihood CI upper bound for dN/dS (if available)"],
+            ]
+        if resample > 0:
+            columns.append(p_asymptotic)
+            headers.append(["p-asmp", "p-value derived from the asymptotic test statistic"])
+        if mh:
+            columns.append(site_delta if mh_est else np.full(n_patterns, delta_hat))
+            headers.append(["2H rate", "Site-level rate for 2-nucleotide substitutions"])
+            if mh_triple:
+                columns.append(site_psi if mh_est else np.full(n_patterns, psi_hat))
+                headers.append(["3H rate", "Site-level rate for 3-nucleotide substitutions"])
+        site_table = np.stack([c[dup] for c in columns], axis=1)
+        return site_table, headers
 
-    json = analysis_json(
-        info="FEL (Fixed Effects Likelihood) estimates site-wise synonymous (&alpha;) "
-             "and non-synonymous (&beta;) rates",
-        version="2.1",
-        data=data,
-        fits={
-            "Nucleotide GTR": model_fit_entry(
-                gtr.loglik, gtr.n_parameters, data.sample_size,
-                frequencies=gtr.frequencies, display_order=0,
-            ),
-            "Global MG94xREV": model_fit_entry(
-                mg.loglik, mg.n_parameters, data.sample_size,
-                frequencies=mg.codon_freqs, display_order=1,
-                rate_distributions={
-                    f"non-synonymous/synonymous rate ratio for *{name}*":
-                        [[float(mg.omegas[g]), 1.0]]
-                    for g, name in enumerate(data.group_names)
-                },
-            ),
-        },
-        extra={
-            "MLE": {
-                "headers": headers,
-                "content": {"0": site_table.tolist()},
+    content = {}
+    first_table = first_headers = None
+    for p_idx, (pdat, mgp) in enumerate(zip(md.parts, mg.parts)):
+        site_table, headers = _solve_partition(pdat, mgp)
+        content[str(p_idx)] = site_table.tolist()
+        if first_table is None:
+            first_table, first_headers = site_table, headers
+
+    fits = {
+        "Nucleotide GTR": model_fit_entry(
+            gtr.loglik, gtr.n_parameters, md.sample_size,
+            frequencies=gtr.parts[0].frequencies, display_order=0,
+        ),
+        "Global MG94xREV": model_fit_entry(
+            mg.loglik, mg.n_parameters, md.sample_size,
+            frequencies=mg.parts[0].codon_freqs, display_order=1,
+            rate_distributions={
+                f"non-synonymous/synonymous rate ratio for *{name}*":
+                    [[float(mg.omegas[g]), 1.0]]
+                for g, name in enumerate(md.parts[0].group_names)
             },
-        },
+        ),
+    }
+    info = ("FEL (Fixed Effects Likelihood) estimates site-wise synonymous "
+            "(&alpha;) and non-synonymous (&beta;) rates")
+    extra = {"MLE": {"headers": first_headers, "content": content}}
+    if md.n_partitions > 1:
+        from hyphy_tpu.io.json_out import analysis_json_parts
+
+        json = analysis_json_parts(info=info, version="2.1", md=md,
+                                   fits=fits, extra=extra)
+    else:
+        json = analysis_json(info=info, version="2.1", data=md.parts[0],
+                             fits=fits, extra=extra)
+    return FELResult(
+        json=json, site_table=first_table, headers=first_headers,
+        data=md.parts[0], gtr=gtr.parts[0], mg94=mg.parts[0],
     )
+
     return FELResult(
         json=json, site_table=site_table, headers=headers,
         data=data, gtr=gtr, mg94=mg,

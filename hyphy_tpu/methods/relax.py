@@ -148,27 +148,30 @@ def run(
             params, omegas, weights, params["t"], jnp.ones((1,)), jnp.ones((1,))
         )
 
-    _progress("fitting general descriptive model")
-    coarse = []
-    for trial in range(5):
-        init = dict(theta_init)
-        init["t"] = t_init
-        init["k_branch"] = jnp.ones(n_branches)
-        for i in range(1, k):
-            init[f"ge_omega_{i}"] = jnp.asarray(
-                min(0.95, rng.uniform(0.1, 0.8) * max(mean_omega, 0.3)) if trial else 0.25 * i * min(mean_omega * 2, 1.0) + 1e-3
-            )
-            init[f"ge_w_{i}"] = jnp.asarray(rng.uniform(0.4, 0.8) if trial else 0.6)
-        init[f"ge_omega_{k}"] = jnp.asarray(1.0 + rng.exponential(1.0) if trial else max(1.1, mean_omega * 2))
-        p0, v0, _ = maximize(ge_loglik, ge_specs, init, precision=0.1, max_iterations=500)
-        coarse.append((float(v0), p0))
-    coarse.sort(key=lambda x: -x[0])
     ge_params, ge_lnl = None, -np.inf
-    for v0, p0 in coarse[:2]:
-        p1, v1, _ = maximize(ge_loglik, ge_specs, p0, precision=precision)
-        if float(v1) > ge_lnl:
-            ge_lnl, ge_params = float(v1), p1
-    _progress(f"general descriptive lnL {ge_lnl:.3f}")
+    if models == "All":
+        # the general-descriptive fit belongs to All mode only
+        # (RELAX.bf --models: Minimal = alternative + null)
+        _progress("fitting general descriptive model")
+        coarse = []
+        for trial in range(5):
+            init = dict(theta_init)
+            init["t"] = t_init
+            init["k_branch"] = jnp.ones(n_branches)
+            for i in range(1, k):
+                init[f"ge_omega_{i}"] = jnp.asarray(
+                    min(0.95, rng.uniform(0.1, 0.8) * max(mean_omega, 0.3)) if trial else 0.25 * i * min(mean_omega * 2, 1.0) + 1e-3
+                )
+                init[f"ge_w_{i}"] = jnp.asarray(rng.uniform(0.4, 0.8) if trial else 0.6)
+            init[f"ge_omega_{k}"] = jnp.asarray(1.0 + rng.exponential(1.0) if trial else max(1.1, mean_omega * 2))
+            p0, v0, _ = maximize(ge_loglik, ge_specs, init, precision=0.1, max_iterations=500)
+            coarse.append((float(v0), p0))
+        coarse.sort(key=lambda x: -x[0])
+        for v0, p0 in coarse[:2]:
+            p1, v1, _ = maximize(ge_loglik, ge_specs, p0, precision=precision)
+            if float(v1) > ge_lnl:
+                ge_lnl, ge_params = float(v1), p1
+        _progress(f"general descriptive lnL {ge_lnl:.3f}")
 
     # ---------------- alternative: test = reference ^ K --------------------
     alt_engine = BSRELEngine(mg94, pdata, lp, filt.pattern_weights, group)
@@ -196,17 +199,31 @@ def run(
             params, omegas, weights, params["t"], jnp.ones((1,)), jnp.ones((1,))
         )
 
-    # init from the GD fit
-    alt_init = {k2: v for k2, v in ge_params.items()
-                if k2.startswith("theta")}
-    alt_init["t"] = ge_params["t"]
-    alt_init["K"] = jnp.asarray(1.0)
-    for i in range(1, k + 1):
-        alt_init[f"ref_omega_{i}"] = ge_params[f"ge_omega_{i}"]
-        if has_unclassified:
-            alt_init[f"unc_omega_{i}"] = ge_params[f"ge_omega_{i}"]
-    for i in range(1, k):
-        alt_init[f"ref_w_{i}"] = ge_params[f"ge_w_{i}"]
+    # init from the GD fit when available (All mode), else from MG94
+    alt_init = {}
+    if ge_params is not None:
+        alt_init.update({k2: v for k2, v in ge_params.items()
+                         if k2.startswith("theta")})
+        alt_init["t"] = ge_params["t"]
+        alt_init["K"] = jnp.asarray(1.0)
+        for i in range(1, k + 1):
+            alt_init[f"ref_omega_{i}"] = ge_params[f"ge_omega_{i}"]
+            if has_unclassified:
+                alt_init[f"unc_omega_{i}"] = ge_params[f"ge_omega_{i}"]
+        for i in range(1, k):
+            alt_init[f"ref_w_{i}"] = ge_params[f"ge_w_{i}"]
+    else:
+        alt_init.update(theta_init)
+        alt_init["t"] = t_init
+        alt_init["K"] = jnp.asarray(1.0)
+        for i in range(1, k + 1):
+            val = (min(0.25 * i * max(mean_omega * 2, 0.2), 0.95)
+                   if i < k else max(1.1, mean_omega * 2))
+            alt_init[f"ref_omega_{i}"] = jnp.asarray(val)
+            if has_unclassified:
+                alt_init[f"unc_omega_{i}"] = jnp.asarray(val)
+        for i in range(1, k):
+            alt_init[f"ref_w_{i}"] = jnp.asarray(0.6)
 
     _progress("fitting RELAX alternative model")
     alt_params, alt_lnl = None, -np.inf
@@ -304,10 +321,10 @@ def run(
         "MG94xREV with separate rates for branch sets": model_fit_entry(
             mg.loglik, mg.n_parameters, data.sample_size, display_order=1,
         ),
-        "General descriptive": model_fit_entry(
+        **({"General descriptive": model_fit_entry(
             ge_lnl, count(ge_specs) + 9, data.sample_size, display_order=4,
             rate_distributions={"Shared": _dist_json(ge_params, "ge", k)},
-        ),
+        )} if ge_params is not None else {}),
         "RELAX alternative": model_fit_entry(
             alt_lnl, count(alt_specs) + 9, data.sample_size, display_order=2,
             rate_distributions=alt_dists,

@@ -33,7 +33,7 @@ from hyphy_tpu.models.parameters import ParamSpec, Params, Specs
 
 _RESOURCE_DIR = os.path.join(os.path.dirname(__file__), "..", "resources", "protein")
 
-EMPIRICAL_MODELS = ["LG", "WAG", "JTT", "JC69", "mtMet", "mtVer", "mtInv", "gcpREV", "HIVBm", "HIVWm"]
+EMPIRICAL_MODELS = ["LG", "WAG", "JTT", "JC69", "Dayhoff", "rtREV", "mtMAM", "mtREV24", "mtMet", "mtVer", "mtInv", "gcpREV", "HIVBm", "HIVWm"]
 
 
 @functools.lru_cache(maxsize=None)

@@ -326,8 +326,14 @@ class LevelSchedule:
 
 
 def infer_nj_tree(distance: np.ndarray, names: List[str]) -> Tree:
-    """Neighbor-joining tree from a distance matrix (reference:
-    ``tree.infer.NJ``, used by GARD for per-partition trees)."""
+    """Neighbor-joining tree from a distance matrix, mirroring the
+    reference engine's implementation (``_Matrix::NeighborJoin``,
+    matrix.cpp:8944) including its pair-scan order and slot reuse:
+    the merged cluster takes the SMALLER member's slot and candidate
+    pairs are scanned (c1 ascending, c2 < c1) with a strict minimum —
+    on near-symmetric distance matrices (many exact Q ties) a different
+    tie-break yields a measurably worse topology (GARD's HRVI baseline
+    differs by ~15 lnL between conventions)."""
     n = len(names)
     if n < 2:
         raise ValueError("need >= 2 taxa")
@@ -336,43 +342,82 @@ def infer_nj_tree(distance: np.ndarray, names: List[str]) -> Tree:
         nd = ParseNode()
         nd.name = nm
         nodes.append(nd)
-    D = distance.astype(np.float64).copy()
-    active = list(range(n))
-    next_nodes = list(nodes)
-    while len(active) > 2:
-        m = len(active)
-        sub = D[np.ix_(active, active)]
-        r = sub.sum(axis=1)
-        Q = (m - 2) * sub - r[:, None] - r[None, :]
-        np.fill_diagonal(Q, np.inf)
-        i, j = np.unravel_index(np.argmin(Q), Q.shape)
-        if i > j:
-            i, j = j, i
-        ai, aj = active[i], active[j]
-        dij = sub[i, j]
-        li = 0.5 * dij + (r[i] - r[j]) / (2 * (m - 2))
-        lj = dij - li
-        parent = ParseNode()
-        na, nb = next_nodes[ai], next_nodes[aj]
-        na.length = max(li, 0.0)
-        nb.length = max(lj, 0.0)
-        na.parent = nb.parent = parent
-        parent.children = [na, nb]
-        new_row = 0.5 * (D[ai, :] + D[aj, :] - dij)
-        D = np.pad(D, ((0, 1), (0, 1)))
-        D[-1, : len(new_row)] = new_row
-        D[: len(new_row), -1] = new_row
-        D[-1, -1] = 0.0
-        next_nodes.append(parent)
-        active = [a for a in active if a not in (ai, aj)] + [len(next_nodes) - 1]
-    # join the final two under a root
-    root = ParseNode()
-    a, b = next_nodes[active[0]], next_nodes[active[1]]
-    d = D[active[0], active[1]]
-    a.length = max(d / 2, 0.0)
-    b.length = max(d - a.length, 0.0)
-    a.parent = b.parent = root
-    root.children = [a, b]
+    D0 = distance.astype(np.float64)
+    if n == 2:
+        root = ParseNode()
+        nodes[0].length = nodes[1].length = max(D0[0, 1] / 2, 0.0)
+        nodes[0].parent = nodes[1].parent = root
+        root.children = [nodes[0], nodes[1]]
+    elif n == 3:
+        # trees.bf:1377-1386 three-taxon formulas
+        root = ParseNode()
+        d01, d02, d12 = D0[0, 1], D0[0, 2], D0[1, 2]
+        for nd, L in zip(nodes, ((d01 + d02 - d12) / 2,
+                                 (d01 - d02 + d12) / 2,
+                                 (d12 + d02 - d01) / 2)):
+            nd.length = max(L, 0.0)
+            nd.parent = root
+        root.children = list(nodes)
+    else:
+        theData = D0.copy()
+        net = np.zeros(n)
+        for kk in range(n):
+            for j in range(kk):
+                net[kk] += theData[j, kk]
+                net[j] += theData[j, kk]
+        use_col = list(range(n))             # active slots, ascending
+        node_of = {s: nodes[s] for s in range(n)}
+        clades_made = 1
+        while clades_made < n:
+            k = n - 1 - clades_made
+            if clades_made == n - 1:
+                # final cluster attaches INTO the last internal node with
+                # the full remaining distance (unrooted trifurcation)
+                dangling = node_of[use_col[1]]
+                top = node_of[use_col[0]]
+                dangling.length = max(theData[use_col[0], use_col[1]], 0.0)
+                dangling.parent = top
+                top.children.append(dangling)
+                root = top
+                break
+            rec = 1.0 / k
+            best = np.inf
+            mi = mj = -1
+            for i in range(1, len(use_col)):
+                c1 = use_col[i]
+                for j in range(i):
+                    c2 = use_col[j]
+                    q = theData[c2, c1] - (net[c1] + net[c2]) * rec
+                    if q < best:
+                        best, mi, mj = q, c2, c1
+            dij = theData[mi, mj]
+            d = (dij - (net[mj] - net[mi]) * rec) * 0.5
+            d2 = dij - d
+            # negative-length clamping (matrix.cpp:9049-9060)
+            if d < 0:
+                d, d2 = 0.0, dij
+            if d2 < 0:
+                d2, d = 0.0, max(dij, 0.0)
+            parent = ParseNode()
+            na, nb = node_of[mi], node_of[mj]
+            na.length = d
+            nb.length = d2
+            na.parent = nb.parent = parent
+            parent.children = [na, nb]
+            net[mi] = 0.0
+            net[mj] = 0.0
+            use_col.remove(mj)
+            for k2 in use_col:
+                if k2 == mi:
+                    continue
+                a = theData[min(k2, mi), max(k2, mi)]
+                b = theData[min(k2, mj), max(k2, mj)]
+                t = (a + b - dij) * 0.5
+                net[k2] += t - (a + b)
+                theData[min(k2, mi), max(k2, mi)] = t
+                net[mi] += t
+            node_of[mi] = parent             # merged cluster reuses slot mi
+            clades_made += 1
     # name internal nodes
     counter = [0]
 

@@ -38,3 +38,28 @@ class TestMEMEGoldens:
     def test_meme_dominates_fel(self, meme_result):
         t = meme_result.site_table
         assert (t[:, 9] >= t[:, 10] - 1e-6).all()
+
+
+class TestMEMEGroup1Golden:
+    """MEME-partitioned.wbf: CD2.nex with --branches GROUP1."""
+
+    @pytest.fixture(scope="class")
+    def g1(self, cd2_path):
+        return meme.run(cd2_path, branches="Group1")
+
+    def test_mg94_loglik(self, g1):
+        """MEME-partitioned.wbf:23-25: Global MG94xREV lnL -3466.57 (0.1%)."""
+        lnl = g1.json["fits"]["Global MG94xREV"]["Log Likelihood"]
+        assert lnl == pytest.approx(-3466.57, rel=0.001)
+
+    def test_positive_sites(self, g1):
+        """MEME-partitioned.wbf:44: positives at p <= 0.1 = {34,98,142,175}."""
+        t = g1.site_table
+        positives = sorted(np.nonzero(t[:, 6] <= 0.1)[0] + 1)
+        assert positives == [34, 98, 142, 175]
+
+    def test_branch_count_sum(self, g1):
+        """MEME-partitioned.wbf:96: total # branches with high EBF = 3."""
+        t = g1.site_table
+        idx = np.array([34, 98, 142, 175]) - 1
+        assert t[idx, 7].sum() == 3
