@@ -372,9 +372,11 @@ def infer_nj_tree(distance: np.ndarray, names: List[str]) -> Tree:
             k = n - 1 - clades_made
             if clades_made == n - 1:
                 # final cluster attaches INTO the last internal node with
-                # the full remaining distance (unrooted trifurcation)
-                dangling = node_of[use_col[1]]
-                top = node_of[use_col[0]]
+                # the full remaining distance (unrooted trifurcation);
+                # matrix.cpp:8993-9001 picks the non-internal side to dangle
+                top, dangling = node_of[use_col[0]], node_of[use_col[1]]
+                if top.is_leaf:
+                    top, dangling = dangling, top
                 dangling.length = max(theData[use_col[0], use_col[1]], 0.0)
                 dangling.parent = top
                 top.children.append(dangling)

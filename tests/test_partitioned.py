@@ -38,6 +38,36 @@ class TestPartitionedFits:
         mg = common.fit_partitioned_mg94_multi(md, gtr, refit_lengths=False)
         assert mg.loglik == pytest.approx(-5453.42, rel=0.001)
 
+    def test_fel_partitioned_vs_reference_json(self, part_path):
+        """Per-partition FEL vs the reference's own partitioned.nex.FEL.json
+        (shipped in tests/hbltests/libv3/data): joint MG94 lnL -5440.49
+        (0.1%) and near-exact per-partition significant-site sets (a
+        measured run recovers 113/115 reference sites with no extras;
+        the 2 misses sit exactly at the p = 0.1 boundary)."""
+        import json as _json
+
+        from hyphy_tpu.methods import fel
+
+        res = fel.run(part_path, branches="All")
+        j = res.json
+        assert j["fits"]["Global MG94xREV"]["Log Likelihood"] == pytest.approx(
+            -5440.49, rel=0.001
+        )
+        ref = _json.load(open(
+            "/root/reference/tests/hbltests/libv3/data/partitioned.nex.FEL.json"
+        ))
+        missed = extra = total_ref = 0
+        for p in range(5):
+            ours = np.asarray(j["MLE"]["content"][str(p)])
+            theirs = np.asarray(ref["MLE"]["content"][str(p)])
+            sig_o = set(np.nonzero(ours[:, 4] <= 0.1)[0])
+            sig_t = set(np.nonzero(theirs[:, 4] <= 0.1)[0])
+            total_ref += len(sig_t)
+            missed += len(sig_t - sig_o)
+            extra += len(sig_o - sig_t)
+        assert total_ref > 100
+        assert missed <= 4 and extra <= 4
+
     def test_slac_partitioned_golden(self, part_path):
         """SLAC-partitioned.wbf: joint MG94 lnL -5453.42; zero positive and
         negative sites at p <= 0.1 in every partition."""
