@@ -150,3 +150,70 @@ class TestRandom:
     def test_gaussian_shape(self):
         g = hrandom.gaussian(np.zeros(3), np.eye(3), size=7, seed=4)
         assert g.shape == (7, 3)
+
+
+class TestSharedTaylorPropagators:
+    """fp32 tolerance of the TPU expm path vs the fp64 spectral path on a
+    reversible codon generator (the bench's accuracy contract; reference
+    fp32 analogue: ExponentiateSingle, matrix.cpp:9974)."""
+
+    @pytest.fixture(scope="class")
+    def generator(self):
+        import jax.numpy as jnp
+
+        from hyphy_tpu.data.genetic_code import GeneticCode
+        from hyphy_tpu.models import frequencies as freq_mod
+        from hyphy_tpu.models.base import fill_diagonal_from_rows
+        from hyphy_tpu.models.codon import MG94xREVPartitionedOmega
+        from hyphy_tpu.data.filter import DataFilter
+        from hyphy_tpu.utils.synth import random_tree_newick, synthetic_codon_alignment
+
+        gc = GeneticCode("Universal")
+        aln = synthetic_codon_alignment(8, 40, seed=2)
+        filt = DataFilter.from_alignment(aln, "codon", genetic_code=gc)
+        corners, codon_freqs = freq_mod.f3x4(filt, gc)
+        model = MG94xREVPartitionedOmega(
+            gc, corners, codon_freqs, nuc_lengths=np.ones(13) * 0.1,
+            branch_groups=np.zeros(13, dtype=np.int32), n_groups=1,
+        )
+        import jax.numpy as jnp
+        params = {k: s.initial() for k, s in model.parameter_specs(13).items()}
+        qs, qn = model.basis_matrices(params)
+        q = np.asarray(fill_diagonal_from_rows(qs + 0.3 * qn))
+        pi = np.asarray(model.frequencies)
+        return q, pi
+
+    def test_fp32_vs_fp64_spectral(self, generator):
+        import jax.numpy as jnp
+
+        from hyphy_tpu.ops import expm as expm_ops
+
+        q, pi = generator
+        rng = np.random.default_rng(0)
+        t = np.concatenate([[1e-5, 1e-3], rng.random(24) * 2.0, [5.0, 20.0]])
+        p32 = np.asarray(expm_ops.shared_taylor_propagators(
+            jnp.asarray(q, jnp.float32), jnp.asarray(t, jnp.float32)
+        ), dtype=np.float64)
+        left, lam, right = expm_ops.reversible_spectral(
+            jnp.asarray(q, jnp.float64), jnp.asarray(pi, jnp.float64)
+        )
+        p64 = np.asarray(expm_ops.spectral_propagators(
+            left, lam, right, jnp.asarray(t, jnp.float64)
+        ))
+        err = np.abs(p32 - p64).max()
+        assert err < 5e-5, f"fp32 propagator error {err:.2e}"
+        assert np.abs(p32.sum(-1) - 1.0).max() < 1e-5
+
+    def test_fp64_matches_scipy(self, generator):
+        import jax.numpy as jnp
+        import scipy.linalg as sla
+
+        from hyphy_tpu.ops import expm as expm_ops
+
+        q, _ = generator
+        t = np.array([0.01, 0.7, 3.0, 30.0])
+        p = np.asarray(expm_ops.shared_taylor_propagators(
+            jnp.asarray(q, jnp.float64), jnp.asarray(t, jnp.float64)
+        ))
+        ref = np.stack([sla.expm(q * tt) for tt in t])
+        assert np.abs(p - ref).max() < 1e-12
