@@ -253,6 +253,10 @@ def read_alignment(path_or_text: str, *, is_path: bool = True) -> Alignment:
         aln = parse_nexus(text)
     elif head.startswith(">"):
         aln = parse_fasta(text)
+    elif head.startswith("#"):
+        # legacy hash-mark format (dataset.cpp:2332 '#'-delimited names —
+        # FASTA with '#' in place of '>')
+        aln = parse_fasta(text.replace("\n#", "\n>").lstrip().replace("#", ">", 1))
     elif re.match(r"^\s*\d+\s+\d+", head):
         aln = parse_phylip(text)
     else:

@@ -128,3 +128,13 @@ class TestBinaryModel:
         assert np.isfinite(res.loglik)
         # saturated upper bound: independent-site multinomial likelihood
         assert res.loglik < 0
+
+
+class TestHashFormat:
+    def test_hash_mark_sequences(self):
+        """Legacy '#name' sequence format (dataset.cpp hash-mark reader)."""
+        from hyphy_tpu.data.alignment import read_alignment
+
+        a = read_alignment("#s1\nACGTACGT\n#s2\nACGAACGT\n", is_path=False)
+        assert a.names == ["s1", "s2"]
+        assert a.sequences == ["ACGTACGT", "ACGAACGT"]
