@@ -62,11 +62,27 @@ class LikelihoodFunction:
         partitions: Sequence[Partition],
         schedule_pad: Tuple[int, int] = (0, 0),
         pattern_bucket: Optional[int] = None,
+        dtype=None,
+        mesh=None,
     ):
         """``schedule_pad=(min_depth, min_width)`` and ``pattern_bucket``
         round the compiled shapes up (scratch levels / zero-weight pattern
         rows) so many related problems — e.g. GARD's per-candidate NJ
-        topologies and partition splits — reuse one XLA compilation."""
+        topologies and partition splits — reuse one XLA compilation.
+
+        ``dtype``: compute dtype for the likelihood path — defaults to
+        ``settings.likelihood_dtype()`` (fp64 on CPU for parity, fp32 on
+        TPU; reference analogue ``MATRIX_EXPONENTIAL_SINGLE_PRECISION``,
+        ``matrix.cpp:9974``).  Reductions (pattern-weighted lnL sum) always
+        accumulate in fp64.
+
+        ``mesh``: a ``jax.sharding.Mesh`` with one axis — the pattern axis
+        of every partition's leaf CLVs is sharded across it (the gene-level
+        analogue of the reference's MPI SiteTemplate mode,
+        ``likefunc.h:109``); parameters stay replicated and XLA inserts the
+        ``psum`` for the weighted reduction."""
+        self.dtype = jnp.dtype(dtype) if dtype is not None else settings.likelihood_dtype()
+        self.mesh = mesh
         self.partitions = list(partitions)
         self._pruning_data = [
             pruning.build_pruning_data(
@@ -95,8 +111,30 @@ class LikelihoodFunction:
                     pad = np.ones((lp.shape[0], n_pad - n, lp.shape[2]), lp.dtype)
                     lp = np.concatenate([lp, pad], axis=1)
                     w = np.concatenate([w, np.zeros(n_pad - n)])
-            self._leaf_partials.append(jnp.asarray(lp))
-            self._weights.append(jnp.asarray(w))
+            lp_dev = jnp.asarray(lp, dtype=self.dtype)
+            w_dev = jnp.asarray(w)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                axis = self.mesh.axis_names[0]
+                n_dev = self.mesh.devices.size
+                n_pat = lp_dev.shape[1]
+                if n_pat % n_dev:
+                    # zero-weight all-ones (gap) pattern rows: no lnL effect
+                    n_pad = (n_pat + n_dev - 1) // n_dev * n_dev - n_pat
+                    lp_dev = jnp.concatenate(
+                        [lp_dev,
+                         jnp.ones((lp_dev.shape[0], n_pad, lp_dev.shape[2]),
+                                  self.dtype)], axis=1)
+                    w_dev = jnp.concatenate([w_dev, jnp.zeros(n_pad, w_dev.dtype)])
+                lp_dev = jax.device_put(
+                    lp_dev, NamedSharding(self.mesh, PartitionSpec(None, axis, None))
+                )
+                w_dev = jax.device_put(
+                    w_dev, NamedSharding(self.mesh, PartitionSpec(axis))
+                )
+            self._leaf_partials.append(lp_dev)
+            self._weights.append(w_dev)
         # parameter index: shared globals by name, locals prefixed
         self.specs: Specs = {}
         self._key_maps: List[Dict[str, str]] = []
@@ -127,7 +165,10 @@ class LikelihoodFunction:
 
     def _partition_site_logliks(self, params: Params, i: int) -> jnp.ndarray:
         part = self.partitions[i]
-        local = {name: params[key] for name, key in self._key_maps[i].items()}
+        local = {
+            name: jnp.asarray(params[key]).astype(self.dtype)
+            for name, key in self._key_maps[i].items()
+        }
         out: ModelOutput = part.model.build(local, part.tree.n_branches)
         if out.class_weights is None:
             return pruning.site_log_likelihoods(
@@ -151,7 +192,12 @@ class LikelihoodFunction:
         total = 0.0
         for i in range(len(self.partitions)):
             site = self._partition_site_logliks(params, i)
-            total = total + pruning.total_log_likelihood(site, self._weights[i])
+            # fp64 accumulation of the pattern-weighted reduction even when
+            # the CLV path runs fp32 (reference: Neumaier-compensated sum,
+            # likefunc.cpp:11059-11079)
+            total = total + pruning.total_log_likelihood(
+                site.astype(self._weights[i].dtype), self._weights[i]
+            )
         return total
 
     # -- fitting ------------------------------------------------------------

@@ -294,11 +294,13 @@ def run(
             q_syn, q_non = model.basis_matrices(mgp.params)
         rate_syn = q_syn.sum(-1) @ model.frequencies
         rate_non = q_non.sum(-1) @ model.frequencies
-        alpha_hat = jnp.asarray(mgp.alphas)              # [B] branch synRate MLEs
-        freqs = model.frequencies
+        dtype = settings.likelihood_dtype()
+        use_spectral = dtype == jnp.float64  # fp32 eigh loses ~1e-2 on 61-state Q
+        alpha_hat = jnp.asarray(mgp.alphas, dtype)       # [B] branch synRate MLEs
+        freqs = model.frequencies.astype(dtype)
         group_of_branch = jnp.asarray(np.where(tested, 0, 1).astype(np.int32))
         n_groups = 2 if has_background else 1
-        leaf_partials = jnp.asarray(filt.leaf_partials())   # [taxa, patterns, S]
+        leaf_partials = jnp.asarray(filt.leaf_partials(), dtype)  # [taxa, patterns, S]
         pdata = pruning.build_pruning_data(data.tree)
         tested_j = jnp.asarray(tested.astype(np.float64))
 
@@ -324,7 +326,21 @@ def run(
             b = jnp.stack(beta_list)                                # [G]
             m = fill_diagonal_from_rows(
                 a * qs[None] + b[:, None, None] * qn[None]
-            )                                                        # [G,S,S]
+            ).astype(dtype)                                          # [G,S,S]
+            if not use_spectral:
+                # fp32/TPU: shared-power Taylor propagators (fp32-exact)
+                # + dense per-site pruning; reference fp32 expm analogue
+                # matrix.cpp:9974
+                p_g = jax.vmap(
+                    lambda mg: expm_ops.shared_taylor_propagators(mg, alpha_hat)
+                )(m)                                                 # [G,B,S,S]
+                p_b = (
+                    p_g[group_of_branch, jnp.arange(alpha_hat.shape[0])]
+                    if has_background else p_g[0]
+                )
+                return pruning.single_site_log_likelihood_dense(
+                    p_b, leaf_vecs, freqs, pdata
+                )
             left, lam, right = expm_ops.reversible_spectral(m, freqs)
             if has_background:
                 return pruning.single_site_log_likelihood_spectral(
@@ -546,9 +562,4 @@ def run(
     return FELResult(
         json=json, site_table=first_table, headers=first_headers,
         data=md.parts[0], gtr=gtr.parts[0], mg94=mg.parts[0],
-    )
-
-    return FELResult(
-        json=json, site_table=site_table, headers=headers,
-        data=data, gtr=gtr, mg94=mg,
     )

@@ -55,11 +55,12 @@ class NucleotideREV(SubstitutionModel):
 
     def q_matrix(self, params: Params) -> jnp.ndarray:
         rates = self._rate_multipliers(params)
+        freqs = self.frequencies.astype(rates.dtype)  # keep fp32 path fp32
         q = jnp.zeros((4, 4), dtype=rates.dtype)
         for k, pair in enumerate(GTR_RATES):
             i, j = NUCLEOTIDES.index(pair[0]), NUCLEOTIDES.index(pair[1])
-            q = q.at[i, j].set(rates[k] * self.frequencies[j])
-            q = q.at[j, i].set(rates[k] * self.frequencies[i])
+            q = q.at[i, j].set(rates[k] * freqs[j])
+            q = q.at[j, i].set(rates[k] * freqs[i])
         return fill_diagonal_from_rows(q)
 
     def build(self, params: Params, n_branches: int) -> ModelOutput:

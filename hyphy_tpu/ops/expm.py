@@ -18,6 +18,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# true-fp32 matmul accumulation on TPU (bf16-pass default rounding would
+# leak ~1e-3 relative error into every propagator); no-op on CPU
+_PRECISION = jax.lax.Precision.HIGHEST
+
 # enough Taylor terms that a matrix scaled to ||A|| <= 1/2 converges past
 # fp64 machine epsilon: 0.5^18/18! ~ 2e-21
 _TAYLOR_TERMS = 18
@@ -123,7 +127,7 @@ def shared_taylor_propagators(
     eye = jnp.eye(s_dim, dtype=dtype)
 
     def next_pow(p, _):
-        p = p @ qn
+        p = jnp.matmul(p, qn, precision=_PRECISION)
         return p, p
 
     _, pows = jax.lax.scan(next_pow, eye, None, length=terms)
@@ -145,19 +149,22 @@ def shared_taylor_propagators(
     coef = jnp.cumprod(ratios, axis=1)
     coef = jnp.concatenate([jnp.ones((t.shape[0], 1), dtype=dtype), coef], axis=1)
     p = jnp.einsum(
-        "bk,kij->bij", coef, pows, preferred_element_type=dtype
+        "bk,kij->bij", coef, pows, preferred_element_type=dtype,
+        precision=_PRECISION,
     )
 
     coef2 = jnp.cumprod(2.0 / ks)                          # Taylor at r = 2
     coef2 = jnp.concatenate([jnp.ones((1,), dtype), coef2])
-    m2 = jnp.einsum("k,kij->ij", coef2, pows)              # expm(2 qn)
+    m2 = jnp.einsum("k,kij->ij", coef2, pows, precision=_PRECISION)              # expm(2 qn)
 
     def bit_step(carry, k):
         p, mk = carry
         bit = ((j >> k) & 1).astype(bool)
-        pnew = (p.reshape(-1, s_dim) @ mk).reshape(p.shape)
+        pnew = jnp.matmul(
+            p.reshape(-1, s_dim), mk, precision=_PRECISION
+        ).reshape(p.shape)
         p = jnp.where(bit[:, None, None], pnew, p)
-        return (p, mk @ mk), None
+        return (p, jnp.matmul(mk, mk, precision=_PRECISION)), None
 
     (p, _), _ = jax.lax.scan(
         bit_step, (p, m2), jnp.arange(max_squarings, dtype=jnp.int32)
@@ -198,7 +205,7 @@ def spectral_propagators(left, lam, right, t):
     [B, n, n]; per-class Q with per-branch t: pass t as [B, 1].
     """
     el = jnp.exp(lam * t[..., None])
-    p = (left * el[..., None, :]) @ right
+    p = jnp.matmul(left * el[..., None, :], right, precision=_PRECISION)
     # clip tiny negative round-off; renormalize rows exactly
     p = jnp.maximum(p, 0.0)
     return row_renormalize(p)

@@ -27,6 +27,12 @@ import numpy as np
 
 from hyphy_tpu.tree.topology import LevelSchedule, Tree
 
+# All CLV contractions pin lax.Precision.HIGHEST: on TPU the default f32
+# matmul runs reduced-precision bf16 passes whose ~1e-3 per-dot rounding
+# compounds across a deep tree into ~0.1 lnL/site error (measured, 1000
+# taxa); HIGHEST keeps true fp32 accumulation.  On CPU the flag is a no-op.
+_PRECISION = jax.lax.Precision.HIGHEST
+
 
 class PruningData(NamedTuple):
     """Static (per-topology) arrays driving the pruning scan."""
@@ -116,7 +122,8 @@ def site_log_likelihoods(
         cc = clv[flat]                         # [W*K, patterns, S]
         # child message to parent: m[b, p, i] = sum_j P[b, i, j] c[b, p, j]
         contrib = jnp.einsum(
-            "bij,bpj->bpi", cp, cc, preferred_element_type=dtype
+            "bij,bpj->bpi", cp, cc, preferred_element_type=dtype,
+            precision=_PRECISION,
         ).reshape(child_ids.shape[0], data.arity, patterns, states)
         prod = jnp.prod(contrib, axis=1)       # [W, patterns, S]
         mx = jnp.max(prod, axis=-1, keepdims=True)
@@ -168,7 +175,8 @@ def _site_log_likelihoods_unrolled(
         cc = buf[child_storage.reshape(-1)]            # [W*K, patterns, S]
         cp = p_all[child_branch.reshape(-1)]           # [W*K, S, S]
         contrib = jnp.einsum(
-            "bij,bpj->bpi", cp, cc, preferred_element_type=dtype
+            "bij,bpj->bpi", cp, cc, preferred_element_type=dtype,
+            precision=_PRECISION,
         ).reshape(w, k, patterns, states)
         prod = jnp.prod(contrib, axis=1)               # [W, patterns, S]
         mx = jnp.max(prod, axis=-1, keepdims=True)
@@ -262,6 +270,64 @@ def single_site_log_likelihood_spectral_mixture(
         v = v * jnp.swapaxes(el_all[flat], 0, 1)     # [M, F, S] scale
         msg_m = jnp.einsum("mfk,mik->mfi", v, left)  # left action
         msg = jnp.einsum("mfi,fm->fi", msg_m, w_dense[flat])
+        prod = jnp.prod(
+            msg.reshape(child_ids.shape[0], data.arity, states), axis=1
+        )
+        mx = jnp.max(prod, axis=-1, keepdims=True)
+        mx = jnp.where(mx > 0, mx, 1.0)
+        prod = prod / mx
+        log_scale = log_scale + jnp.sum(jnp.log(mx))
+        clv = clv.at[node_ids].set(prod, unique_indices=True)
+        return (clv, log_scale), None
+
+    (clv, log_scale), _ = jax.lax.scan(
+        level_step, (clv, log_scale), (data.node_ids, data.child_ids)
+    )
+    root_like = clv[n_nodes - 1] @ root_freqs.astype(dtype)
+    root_like = jnp.maximum(root_like, jnp.finfo(dtype).tiny)
+    return jnp.log(root_like) + log_scale
+
+
+def single_site_log_likelihood_dense(
+    p_matrices: jnp.ndarray,    # [n_branches, S, S] per-branch propagators
+    leaf_vectors: jnp.ndarray,  # [n_leaves, S] this site's leaf partials
+    root_freqs: jnp.ndarray,
+    data: PruningData,
+) -> jnp.ndarray:
+    """Log-likelihood of ONE site from materialized per-branch transition
+    matrices.
+
+    The fp32/TPU companion of :func:`single_site_log_likelihood_spectral`:
+    the per-site methods build P_b with the shared-power Taylor propagators
+    (``ops/expm.py``) — which hold fp32 round-off where the fp32 ``eigh``
+    spectral path loses ~1e-2 on 61-state codon generators — and then prune
+    with plain gathered matvecs.  Padded (scratch) gathers hit an appended
+    identity row.
+    """
+    n_nodes = data.n_nodes
+    states = leaf_vectors.shape[-1]
+    dtype = leaf_vectors.dtype
+
+    eye = jnp.eye(states, dtype=dtype)
+    pad_rows = n_nodes + 1 - p_matrices.shape[0]
+    if pad_rows > 0:
+        pad = jnp.broadcast_to(eye, (pad_rows, states, states))
+        p_all = jnp.concatenate([p_matrices.astype(dtype), pad], axis=0)
+    else:
+        p_all = p_matrices.astype(dtype).at[n_nodes].set(eye)
+
+    clv = jnp.ones((n_nodes + 1 + data.max_width, states), dtype=dtype)
+    clv = clv.at[: data.n_leaves].set(leaf_vectors)
+    log_scale = jnp.zeros((), dtype=dtype)
+
+    def level_step(carry, level):
+        clv, log_scale = carry
+        node_ids, child_ids = level                  # [W], [W, K]
+        flat = child_ids.reshape(-1)
+        cc = clv[flat]                               # [W*K, S]
+        msg = jnp.einsum(
+            "bij,bj->bi", p_all[flat], cc, precision=_PRECISION
+        )
         prod = jnp.prod(
             msg.reshape(child_ids.shape[0], data.arity, states), axis=1
         )
