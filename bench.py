@@ -82,7 +82,10 @@ def make_loglik(model, tree, nb):
         p2["omega"] = params["omega"] * scale  # vary params across evals
         out = model.build(p2, nb)
         sll = pruning.site_log_likelihoods(out.p_matrices, lp, out.root_freqs, pdata)
-        return jnp.dot(sll, w)
+        # fp64 accumulation of the weighted reduction: at |lnL| ~ 5e6 a
+        # fp32 sum quantizes at ~0.5 lnL, swamping the CLV-path error
+        # (reference: Neumaier-compensated sum, likefunc.cpp:11059)
+        return jnp.dot(sll.astype(jnp.float64), w.astype(jnp.float64))
 
     return loglik
 

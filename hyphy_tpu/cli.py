@@ -91,12 +91,40 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--srv-branchsite", dest="srv_branchsite", action="store_true",
                    help="branch-site synonymous rate variation")
 
+    p = sub.add_parser("busted-ph", help="BUSTED phenotype/trait association test")
+    common_args(p)
+    p.add_argument("--branches", default="Foreground",
+                   help="the foreground (FG) branch set")
+    p.add_argument("--srv", default="Yes")
+    p.add_argument("--rates", type=int, default=3)
+    p.add_argument("--syn-rates", dest="syn_rates", type=int, default=3)
+    p.add_argument("--starting-points", dest="starting_points", type=int, default=1)
+    p.add_argument("--multiple-hits", dest="multiple_hits", default="None",
+                   choices=["None", "Double", "Double+Triple"])
+    p.add_argument("--error-sink", dest="error_sink", action="store_true")
+
+    p = sub.add_parser("error-filter", help="mask alignment error flagged by a BUSTED-E run")
+    p.add_argument("--json", required=True, help="BUSTED-E result JSON (busted --error-sink)")
+    p.add_argument("--output", required=True, help="masked FASTA path")
+    p.add_argument("--output-json", dest="output_json", default=None,
+                   help="machine-readable filter report path")
+    p.add_argument("--threshold", type=float, default=100.0,
+                   help="EBF error threshold for masking sites")
+    p.add_argument("--ratio", type=float, default=20.0,
+                   help="EBF for error vs selection")
+    p.add_argument("--site-threshold", dest="site_threshold", type=float, default=0.4,
+                   help="mask the entire site if more than this fraction of sequences is flagged")
+
     p = sub.add_parser("relax", help="Relaxation of selection test")
     common_args(p)
-    p.add_argument("--test", required=True)
+    p.add_argument("--test", default=None)
     p.add_argument("--reference", default=None)
     p.add_argument("--rates", type=int, default=3)
     p.add_argument("--models", default="All", choices=["All", "Minimal"])
+    p.add_argument("--groups", default=None,
+                   help="comma-separated branch-set labels: group mode "
+                        "(>= 3 sets, per-group K); --reference names the "
+                        "reference set")
 
     p = sub.add_parser("absrel", help="adaptive Branch-Site REL")
     common_args(p)
@@ -104,6 +132,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pvalue", type=float, default=0.05)
     p.add_argument("--multiple-hits", dest="multiple_hits", default="None",
                    choices=["None", "Double", "Double+Triple"])
+    p.add_argument("--srv", default="No",
+                   help="include synonymous rate variation (shared GDD)")
+    p.add_argument("--syn-rates", dest="syn_rates", type=int, default=3)
 
     p = sub.add_parser("contrast-fel", help="Tests for different selective pressures between branch sets")
     common_args(p)
@@ -217,15 +248,41 @@ def main(argv=None) -> int:
                          multiple_hits=args.multiple_hits,
                          error_sink=args.error_sink,
                          srv_branchsite=args.srv_branchsite)
+    elif method == "busted-ph":
+        from hyphy_tpu.methods import bustedph as mod
+        result = mod.run(args.alignment, args.code, tree, args.branches,
+                         srv=_bool(args.srv), rate_classes=args.rates,
+                         srv_classes=args.syn_rates,
+                         starting_points=max(args.starting_points, 2),
+                         multiple_hits=args.multiple_hits,
+                         error_sink=args.error_sink)
+    elif method == "error-filter":
+        from hyphy_tpu.methods import error_filter as mod
+        out_json = args.output_json or (args.json + ".filter.json")
+        result = mod.run(args.json, output=args.output, output_json=out_json,
+                         threshold=args.threshold, ratio=args.ratio,
+                         site_threshold=args.site_threshold)
+        print(f"Masked {result.total_masked} site x sequence cells; "
+              f"filtered MSA written to {args.output}")
+        return 0
     elif method == "relax":
         from hyphy_tpu.methods import relax as mod
-        result = mod.run(args.alignment, args.code, tree, test=args.test,
-                         reference=args.reference, rate_classes=args.rates,
-                         models=args.models)
+        if args.groups:
+            result = mod.run(args.alignment, args.code, tree,
+                             reference=args.reference,
+                             rate_classes=args.rates,
+                             groups=[g.strip() for g in args.groups.split(",")])
+        else:
+            if not args.test:
+                raise SystemExit("relax: --test is required (or use --groups)")
+            result = mod.run(args.alignment, args.code, tree, test=args.test,
+                             reference=args.reference, rate_classes=args.rates,
+                             models=args.models)
     elif method == "absrel":
         from hyphy_tpu.methods import absrel as mod
         result = mod.run(args.alignment, args.code, tree, args.branches,
-                         pvalue=args.pvalue, multiple_hits=args.multiple_hits)
+                         pvalue=args.pvalue, multiple_hits=args.multiple_hits,
+                         srv=_bool(args.srv), srv_classes=args.syn_rates)
     elif method == "contrast-fel":
         from hyphy_tpu.methods import contrast_fel as mod
         result = mod.run(args.alignment, args.code, tree,

@@ -72,6 +72,30 @@ class ABSRELResult:
     mg94: common.MG94Fit
 
 
+def _srv_json(engine, params, branch_distributions, srv_dist, n_classes, filt):
+    """Fitted synonymous-rate GDD + per-site class posteriors
+    (reference aBSREL.bf:1371-1390 _report_srv + "Synonymous
+    site-posteriors", aBSREL.bf:44)."""
+    import jax.numpy as jnp
+
+    rates, wsrv = srv_dist(params)
+    omegas, weights = branch_distributions(params, jnp.asarray(n_classes))
+    class_sll = np.asarray(engine.class_site_log_likelihoods(
+        params, omegas, weights, params["t"], rates
+    ))                                                     # [C, patterns]
+    logw = np.log(np.maximum(np.asarray(wsrv), 1e-300))[:, None]
+    lp = class_sll + logw
+    lp -= lp.max(axis=0, keepdims=True)
+    post = np.exp(lp) / np.exp(lp).sum(axis=0, keepdims=True)
+    return {
+        "Synonymous site-posteriors": post[:, filt.duplicate_map].tolist(),
+        "Synonymous site-to-site rates": [
+            [float(r), float(w)]
+            for r, w in zip(np.asarray(rates), np.asarray(wsrv))
+        ],
+    }
+
+
 def run(
     alignment: str,
     genetic_code: str = "Universal",
@@ -80,11 +104,19 @@ def run(
     pvalue: float = 0.05,
     precision: float = 1e-4,
     multiple_hits: str = "None",
+    srv: bool = False,
+    srv_classes: int = 3,
 ) -> ABSRELResult:
     """``multiple_hits``: "Double"/"Double+Triple" adds BRANCH-SPECIFIC
     2-hit (delta) and 3-hit (psi) substitution rates to every branch's
     rate-class mixture (reference --multiple-hits, aBSREL.bf:124-133;
-    golden ABSREL-MH.wbf)."""
+    golden ABSREL-MH.wbf).
+
+    ``srv``: layer a shared ``srv_classes``-bin unit-mean GDD synonymous
+    rate distribution over every model in the pipeline (reference --srv,
+    aBSREL.bf:135-157,216-229: rate_variation.types.GDD wrapped around the
+    model generator); per-site class posteriors are reported under
+    "Synonymous site-posteriors" (aBSREL.bf:44)."""
     mh = multiple_hits not in (None, "None", "")
     mh_triple = multiple_hits == "Double+Triple"
     data = common.load_codon_data(alignment, genetic_code, tree, branches)
@@ -123,9 +155,11 @@ def run(
             return qs, qn
 
     pdata = pruning.build_pruning_data(tree_obj)
+    c_srv = srv_classes if srv else 1
     engine = BSRELEngine(
         mg94, pdata, jnp.asarray(filt.leaf_partials()), filt.pattern_weights,
-        np.arange(n_branches, dtype=np.int32), basis_fn=basis_fn,
+        np.arange(n_branches, dtype=np.int32), srv_classes=c_srv,
+        basis_fn=basis_fn,
     )
 
     specs: Specs = dict(MG94Base.theta_specs())
@@ -137,6 +171,11 @@ def run(
         specs["delta"] = ParamSpec(init=0.05, lower=0.0, upper=100.0, shape=(n_branches,))
         if mh_triple:
             specs["psi"] = ParamSpec(init=0.05, lower=0.0, upper=100.0, shape=(n_branches,))
+    if srv:
+        for i in range(1, c_srv + 1):
+            specs[f"srv_rate_{i}"] = ParamSpec(init=0.3 * i, lower=0.0, upper=10000.0)
+        for i in range(1, c_srv):
+            specs[f"srv_w_{i}"] = ParamSpec(init=1.0 / c_srv, lower=0.0, upper=1.0)
 
     idx_k = jnp.arange(KMAX)
 
@@ -158,10 +197,18 @@ def run(
         weights = jnp.concatenate([fr, jnp.ones((n_branches, 1))], axis=1) * rem
         return omegas, weights
 
+    def srv_dist(params):
+        if not srv:
+            return jnp.ones((1,)), jnp.ones((1,))
+        from hyphy_tpu.models.bsrel import srv_distribution
+
+        return srv_distribution(params, c_srv)
+
     def loglik(params, n_classes):
         omegas, weights = branch_distributions(params, n_classes)
+        rates, wsrv = srv_dist(params)
         return engine.loglik(
-            params, omegas, weights, params["t"], jnp.ones((1,)), jnp.ones((1,))
+            params, omegas, weights, params["t"], rates, wsrv
         )
 
     def fit(init, n_classes, fixed=None, prec=precision, max_iterations=None):
@@ -184,8 +231,9 @@ def run(
         # per branch: t + n omegas + (n-1) weights [+ delta/psi];
         # + 5 thetas + 9 empirical
         per_branch_mh = (1 if mh else 0) + (1 if mh_triple else 0)
+        shared_srv = (2 * c_srv - 1) if srv else 0
         return int(
-            5 + 9 + sum(2 * int(c) + per_branch_mh for c in n_classes)
+            5 + 9 + shared_srv + sum(2 * int(c) + per_branch_mh for c in n_classes)
         )
 
     # -- baseline: one omega per branch ------------------------------------
@@ -335,6 +383,8 @@ def run(
                 "P-value threshold": pvalue,
             },
             "branch attributes": branch_attributes,
+            **(_srv_json(engine, params, branch_distributions, srv_dist,
+                         n_classes, filt) if srv else {}),
         },
     )
     return ABSRELResult(

@@ -42,6 +42,10 @@ class BUSTEDResult:
     data: common.LoadedData
     gtr: common.GTRFit
     mg94: common.MG94Fit
+    # fit context for derived analyses (BUSTED-PH refits under extra
+    # constraints): {"loglik", "specs", "unpack", "k", "error_sink",
+    # "has_background", "precision"}
+    context: Optional[Dict] = None
 
 
 def _distribution_specs(
@@ -372,6 +376,73 @@ def run(
     sll_con = np.asarray(site_logliks(constrained))[filt.duplicate_map]
     er_constrained = np.exp(sll_alt - sll_con)
 
+    # -- error-sink support blocks: per-branch class posteriors + ancestral
+    #    substitution map (consumed by the error-filter analysis;
+    #    reference BUSTED.bf:1040-1140 + error-filter.bf)
+    branch_attr = None
+    substitutions = None
+    if error_sink and not (srv_hmm or srv_branchsite):
+        common.progress("busted", "branch-site class posteriors + ancestors")
+        omegas_a, weights_a, rates_a, wsrv_a = unpack(alt_params)
+        tested_ids = np.nonzero(data.tested_branches)[0]
+        sll_bk = engine.branch_class_site_logliks(
+            alt_params, omegas_a, weights_a, alt_params["t"], rates_a,
+            wsrv_a, data.tree.children, tested_ids,
+        )                                                    # [n_sel, K+1, pat]
+        post = np.asarray(
+            BSRELEngine.class_posteriors(sll_bk, weights_a[0])
+        )[:, :, filt.duplicate_map]                          # [n_sel, K+1, sites]
+        # branch-level class posterior from the pattern-weighted totals
+        tot = np.asarray(sll_bk) @ np.asarray(filt.pattern_weights)  # [n_sel,K+1]
+        logw = np.log(np.maximum(np.asarray(weights_a[0]), 1e-300))
+        lp = tot + logw[None, :]
+        lp -= lp.max(axis=1, keepdims=True)
+        branch_post = np.exp(lp) / np.exp(lp).sum(axis=1, keepdims=True)
+        branch_attr = {"0": {}}
+        for row, b in enumerate(tested_ids):
+            branch_attr["0"][data.tree.names[b]] = {
+                "Posterior prob omega class": [[float(x)] for x in branch_post[row]],
+                "Posterior prob omega class by site": post[row].tolist(),
+            }
+        # joint ancestral substitution map under the class-mixed propagators
+        from hyphy_tpu.data.genetic_code import codon_string
+        from hyphy_tpu.ops import ancestral as anc_mod
+
+        times = rates_a[:, None] * alt_params["t"][None, :]
+        p_cls = engine.mixture_propagators(
+            alt_params, omegas_a, weights_a, times
+        )                                                    # [C, B, S, S]
+        p_bar = jnp.einsum("c,cbij->bij", wsrv_a, p_cls)
+        joint = anc_mod.joint_reconstruct(
+            p_bar, engine.leaf_partials, engine.freqs, pdata
+        )
+        internal = np.asarray(joint.internal_states)[:, filt.duplicate_map]
+        sense = data.genetic_code.sense_codons
+        n_leaves = data.tree.n_leaves
+        parent = data.tree.parent
+
+        def state_str(node, site):
+            if node < n_leaves:
+                code = filt.leaf_codes[node, filt.duplicate_map[site]]
+                vec = filt.resolution_table[code]
+                nz = np.nonzero(vec)[0]
+                if nz.size == 1:
+                    return codon_string(int(sense[nz[0]]))
+                return "---" if nz.size == 0 or nz.size == vec.size else "NNN"
+            st = internal[node - n_leaves, site]
+            return codon_string(int(sense[st])) if st >= 0 else "---"
+
+        substitutions = {"0": {}}
+        root_id = data.tree.n_nodes - 1
+        for site in range(filt.n_units):
+            entry = {"root": state_str(root_id, site)}
+            for node in range(data.tree.n_nodes - 1):
+                s_n = state_str(node, site)
+                s_p = state_str(parent[node], site)
+                if s_n != s_p:
+                    entry[data.tree.names[node]] = s_n
+            substitutions["0"][str(site)] = entry
+
     omegas, weights, rates, wsrv = unpack(alt_params)
     n_classes = int(omegas.shape[1])  # k, or k+1 with the error sink
     rate_dists = {
@@ -434,6 +505,8 @@ def run(
                 "unconstrained": [sll_alt.tolist()],
                 "optimized null": [sll_null.tolist()],
             },
+            **({"branch attributes": branch_attr} if branch_attr else {}),
+            **({"substitutions": substitutions} if substitutions else {}),
             **(
                 {
                     "Synonymous rate HMM": {
@@ -447,8 +520,15 @@ def run(
             ),
         },
     )
+    if error_sink:
+        json.setdefault("analysis", {}).setdefault("settings", {})["error-sink"] = 1
     return BUSTEDResult(
         json=json, unconstrained_lnl=alt_lnl, null_lnl=null_lnl,
         lrt=lrt, p_value=p_value, evidence_ratios=er_optimized,
         alt_params=alt_params, data=data, gtr=gtr, mg94=mg,
+        context={
+            "loglik": loglik, "specs": specs, "unpack": unpack, "k": k,
+            "error_sink": error_sink, "has_background": has_background,
+            "precision": precision,
+        },
     )

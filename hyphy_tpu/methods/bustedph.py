@@ -1,0 +1,180 @@
+"""BUSTED-PH — testing whether episodic diversifying selection is
+associated with a phenotype/trait (the designated foreground branches).
+
+Reference: ``res/TemplateBatchFiles/SelectionAnalyses/BUSTED-PH.bf``.
+Four phases:
+
+  1. standard BUSTED on the foreground (test) branches with a separate
+     background distribution — test 1 = the usual BUSTED LRT
+     (``omega_k(test) := 1`` null);
+  2. background test — refit from the full-model MLEs with
+     ``omega_k(background) := 1`` (skipped, LRT := 0, when the inferred
+     background distribution has no positive-weight class with omega > 1,
+     ``BUSTED-PH.bf:87-94``); p = 0.5*(chi2_0 + chi2_2);
+  3. same-distribution test — constrain every background rate and weight
+     to its test counterpart (df = #rates + #weights constrained,
+     ``BUSTED-PH.bf:167-180``), LRT ~ chi2_df;
+  4. association verdict: selection is associated with the trait when
+     test 1 and test 3 are significant at 0.05 and the background is
+     compatible with neutrality (p2 > 0.068, ``BUSTED-PH.bf:255-268``).
+
+Note: the reference summary reads the (never-written) key ``'DIFF'`` for
+p3 (``BUSTED-PH.bf:245``); we use the stored ``'Comparative'`` p-value,
+i.e. the documented intent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from hyphy_tpu.methods import busted as busted_mod
+from hyphy_tpu.methods import common
+from hyphy_tpu.optimize.core import maximize_jax as maximize
+
+
+@dataclasses.dataclass
+class BUSTEDPHResult:
+    json: Dict
+    p_foreground: float
+    p_background: float
+    p_comparative: float
+    summary: str
+    busted: busted_mod.BUSTEDResult
+
+
+def run(
+    alignment: str,
+    genetic_code: str = "Universal",
+    tree: Optional[str] = None,
+    branches: str = "Foreground",
+    srv: bool = True,
+    rate_classes: int = 3,
+    srv_classes: int = 3,
+    starting_points: int = 5,
+    precision: float = 1e-4,
+    seed: int = 1,
+    multiple_hits: str = "None",
+    error_sink: bool = False,
+    p_value: float = 0.05,
+    background_neutral_p: float = 0.068,
+) -> BUSTEDPHResult:
+    """``branches`` selects the foreground (FG) set; every other branch is
+    background — BUSTED-PH requires both sets to be non-empty."""
+    res = busted_mod.run(
+        alignment, genetic_code=genetic_code, tree=tree, branches=branches,
+        srv=srv, rate_classes=rate_classes, srv_classes=srv_classes,
+        starting_points=starting_points, precision=precision, seed=seed,
+        multiple_hits=multiple_hits, error_sink=error_sink,
+    )
+    ctx = res.context
+    if not ctx["has_background"]:
+        raise ValueError(
+            "BUSTED-PH needs a designated foreground set AND background "
+            "branches; the selector matched every branch"
+        )
+    loglik, specs, k = ctx["loglik"], ctx["specs"], ctx["k"]
+    alt_params, alt_lnl = res.alt_params, res.unconstrained_lnl
+
+    # -- phase 2: background test (omega_k(bkg) := 1) -----------------------
+    common.progress("busted-ph", "background selection test")
+    omegas, weights, _, _ = ctx["unpack"](alt_params)
+    bg_positive = bool(omegas[1, -1] > 1.0) and bool(weights[1, -1] > 0.0)
+    if bg_positive:
+        bg_fixed = {f"bkg_omega_{k}": jnp.asarray(1.0)}
+        bg_specs = {k2: v for k2, v in specs.items() if k2 not in bg_fixed}
+        bg_init = {k2: v for k2, v in alt_params.items() if k2 not in bg_fixed}
+
+        def bg_loglik(free):
+            merged = dict(free)
+            merged.update(bg_fixed)
+            return loglik(merged)
+
+        _, bg_lnl, _ = maximize(bg_loglik, bg_specs, bg_init,
+                                precision=ctx["precision"])
+        bg_lnl = float(bg_lnl)
+        lrt_bg = max(2.0 * (alt_lnl - bg_lnl), 0.0)
+        p_bg = 0.5 * common.chi2_sf(lrt_bg, 2)
+    else:
+        # no positive-mass omega>1 background class: nothing to constrain
+        bg_lnl = None
+        lrt_bg, p_bg = 0.0, 1.0
+
+    # -- phase 3: same-distribution test ------------------------------------
+    common.progress("busted-ph", "distribution-equality test")
+    tied = [f"omega_{i}" for i in range(1, k + 1)] + [
+        f"w_{i}" for i in range(1, k)
+    ]
+    if ctx["error_sink"]:
+        tied += ["omega_0", "w_0"]
+    same_df = len(tied)
+    same_specs = {
+        k2: v for k2, v in specs.items()
+        if not any(k2 == f"bkg_{t}" for t in tied)
+    }
+    same_init = {k2: v for k2, v in alt_params.items() if k2 in same_specs}
+
+    def same_loglik(free):
+        merged = dict(free)
+        for t in tied:
+            merged[f"bkg_{t}"] = merged[f"test_{t}"]
+        return loglik(merged)
+
+    _, same_lnl, _ = maximize(same_loglik, same_specs, same_init,
+                              precision=ctx["precision"])
+    same_lnl = float(same_lnl)
+    lrt_same = max(2.0 * (alt_lnl - same_lnl), 0.0)
+    p_same = common.chi2_sf(lrt_same, same_df)
+
+    # -- phase 4: association verdict ---------------------------------------
+    p_fg = res.p_value
+    if max(p_fg, p_same) <= p_value:
+        summary = ("The composite null hypothesis of no selection on the "
+                   "foreground or no difference between foreground and "
+                   "background has been rejected.")
+        if p_bg > background_neutral_p:
+            summary += (" The neutral model of evolution for background "
+                        "branches is sufficiently supported. There is "
+                        "statistical evidence that the selection is "
+                        "associated with the trait.")
+            associated = True
+        else:
+            summary += (" The neutral model of evolution for background "
+                        "branches is not sufficiently supported. Selection "
+                        "is acting broadly on the tree, not just on "
+                        "branches with the trait.")
+            associated = False
+    else:
+        summary = ("The composite null hypothesis could not be rejected; "
+                   "there is no statistical evidence that the selection is "
+                   "associated with the trait.")
+        associated = False
+
+    json = dict(res.json)
+    json["Background selection test results"] = {
+        "LRT": lrt_bg, "p-value": p_bg,
+        **({"Log Likelihood": bg_lnl} if bg_lnl is not None else {}),
+    }
+    json["Comparative selection test results"] = {
+        "LRT": lrt_same, "p-value": p_same, "df": same_df,
+        "Log Likelihood": same_lnl,
+    }
+    json["BUSTED-PH"] = {
+        "uncorrected P-values for each test": {
+            "FG": p_fg, "BG": p_bg, "Comparative": p_same,
+        },
+        "Level": p_value,
+        "Summary": summary,
+        "trait associated": associated,
+    }
+    json["analysis"]["info"] = (
+        "BUSTED-PH (phenotype) tests if episodic diversifying selection is "
+        "associated with the set of designated (FG) branches."
+    )
+    return BUSTEDPHResult(
+        json=json, p_foreground=p_fg, p_background=p_bg,
+        p_comparative=p_same, summary=summary, busted=res,
+    )

@@ -91,7 +91,18 @@ def run(
     models: str = "All",
     precision: float = 1e-5,
     seed: int = 3,
+    groups: Optional[list] = None,
 ) -> RELAXResult:
+    """``groups``: RELAX group mode (>= 3 labeled branch sets;
+    ``RELAX.bf:91-94`` kGroupMode / ``RELAX-Groups.bf``) — pass the list of
+    set labels; ``reference`` names the reference set (K := 1), every other
+    set g gets its own relaxation parameter K_g (omega_i ^ K_g, shared
+    weights).  Alternative = free {K_g}; null = all K_g := 1; LRT ~
+    chi^2_(N-1) (``RELAX.bf:1437-1449``).  Group mode runs Minimal-style
+    (alternative + null)."""
+    if groups is not None:
+        return _run_groups(alignment, genetic_code, tree, groups, reference,
+                           rate_classes, precision, seed)
     data = common.load_codon_data(alignment, genetic_code, tree, branches=test)
     tree_obj = data.tree
     n_branches = tree_obj.n_branches
@@ -367,3 +378,173 @@ def _dist_json(params, prefix, k):
     return {
         str(i): {"omega": float(om[i]), "proportion": float(w[i])} for i in range(k)
     }
+
+
+def _run_groups(
+    alignment, genetic_code, tree, groups, reference, rate_classes,
+    precision, seed,
+):
+    """RELAX group mode: N >= 3 labeled sets, per-group K vs all-K=1 null
+    (``RELAX.bf`` kGroupMode, ``RELAX-Groups.bf``)."""
+    if reference is None or reference not in groups:
+        raise ValueError("group mode needs reference to be one of groups")
+    if len(groups) < 3:
+        raise ValueError("group mode needs >= 3 branch sets; use test/"
+                         "reference for the classic 2-set analysis")
+    k = rate_classes
+    # order: reference first (K = 1 identically)
+    ordered = [reference] + [g for g in groups if g != reference]
+    data = common.load_codon_data(alignment, genetic_code, tree, branches=ordered[1])
+    tree_obj = data.tree
+    n_branches = tree_obj.n_branches
+    group = np.full(n_branches, -1, dtype=np.int32)
+    for gi, label in enumerate(ordered):
+        mask = tree_obj.select_branches(label)
+        group[mask] = gi
+    if (group < 0).any():
+        raise ValueError(
+            "group mode requires every branch to belong to one of the "
+            "given sets (reference can_run_group_mode, RELAX.bf:233-247)"
+        )
+    n_groups = len(ordered)
+    data.tested_branches = group == 1
+    data.branch_groups = group
+
+    _progress("fitting nucleotide GTR")
+    gtr = common.fit_gtr(data, precision=precision)
+    _progress(f"GTR lnL {gtr.loglik:.3f}; fitting global MG94xREV")
+    mg = common.fit_partitioned_mg94(data, gtr, precision=precision)
+    _progress(f"MG94 lnL {mg.loglik:.3f}")
+
+    filt = data.codon_filter
+    mg94 = MG94Base(data.genetic_code, mg.corner_freqs, mg.codon_freqs)
+    pdata = pruning.build_pruning_data(tree_obj)
+    lp = jnp.asarray(filt.leaf_partials())
+    engine = BSRELEngine(mg94, pdata, lp, filt.pattern_weights, group)
+
+    specs: Specs = dict(MG94Base.theta_specs())
+    specs.update(_omega_specs("ref", k))
+    specs.update(_weight_specs("ref", k))
+    for gi in range(1, n_groups):
+        specs[f"K_{gi}"] = ParamSpec(init=1.0, lower=0.0, upper=50.0)
+    specs["t"] = ParamSpec(init=0.1, lower=0.0, upper=10000.0,
+                           shape=(n_branches,))
+
+    def omega_rows(params, k_values):
+        om_ref = jnp.maximum(_get_omegas(params, "ref", k), 1e-10)
+        w = _get_weights(params, "ref", k)
+        rows = [om_ref] + [
+            jnp.power(om_ref, k_values[gi - 1]) for gi in range(1, n_groups)
+        ]
+        return jnp.stack(rows), jnp.broadcast_to(w, (n_groups, k))
+
+    def alt_loglik(params):
+        ks = [params[f"K_{gi}"] for gi in range(1, n_groups)]
+        omegas, weights = omega_rows(params, ks)
+        return engine.loglik(
+            params, omegas, weights, params["t"], jnp.ones((1,)), jnp.ones((1,))
+        )
+
+    mean_omega = float(np.mean(mg.omegas))
+    init = {k2: jnp.asarray(v) for k2, v in mg.params.items()
+            if k2.startswith("theta")}
+    init["t"] = jnp.asarray(mg.alphas)
+    for i in range(1, k + 1):
+        init[f"ref_omega_{i}"] = jnp.asarray(
+            min(0.25 * i * max(mean_omega * 2, 0.2), 0.95)
+            if i < k else max(1.1, mean_omega * 2)
+        )
+    for i in range(1, k):
+        init[f"ref_w_{i}"] = jnp.asarray(0.6)
+    for gi in range(1, n_groups):
+        init[f"K_{gi}"] = jnp.asarray(1.0)
+
+    _progress(f"fitting group-mode alternative ({n_groups} sets)")
+    alt_params, alt_lnl = None, -np.inf
+    for k_start in (1.0, 0.3, 3.0):
+        start = dict(init)
+        for gi in range(1, n_groups):
+            start[f"K_{gi}"] = jnp.asarray(k_start)
+        p0, _, _ = maximize(alt_loglik, specs, start, precision=0.1,
+                            max_iterations=400)
+        p1, v1, _ = maximize(alt_loglik, specs, p0, precision=precision)
+        if float(v1) > alt_lnl:
+            alt_lnl, alt_params = float(v1), p1
+    k_mles = {ordered[gi]: float(alt_params[f"K_{gi}"])
+              for gi in range(1, n_groups)}
+    _progress(f"alternative lnL {alt_lnl:.3f}, K = {k_mles}")
+
+    # null: every K_g := 1
+    null_fixed = {f"K_{gi}": jnp.asarray(1.0) for gi in range(1, n_groups)}
+    null_specs = {k2: v for k2, v in specs.items() if k2 not in null_fixed}
+    null_init = {k2: v for k2, v in alt_params.items() if k2 not in null_fixed}
+
+    def null_loglik(free):
+        merged = dict(free)
+        merged.update(null_fixed)
+        return alt_loglik(merged)
+
+    _progress("fitting group-mode null (all K := 1)")
+    _, null_lnl, _ = maximize(null_loglik, null_specs, null_init,
+                              precision=precision)
+    null_lnl = float(null_lnl)
+    df = n_groups - 1
+    lrt = max(2.0 * (alt_lnl - null_lnl), 0.0)
+    p_value = common.chi2_sf(lrt, df)
+    _progress(f"null lnL {null_lnl:.3f}; LRT {lrt:.3f} (df {df}), p {p_value:.4f}")
+
+    om_ref = np.asarray(_get_omegas(alt_params, "ref", k))
+    w_ref = np.asarray(_get_weights(alt_params, "ref", k))
+    alt_dists = {
+        ordered[0]: {str(i): {"omega": float(om_ref[i]),
+                              "proportion": float(w_ref[i])}
+                     for i in range(k)},
+    }
+    for gi in range(1, n_groups):
+        kg = float(alt_params[f"K_{gi}"])
+        alt_dists[ordered[gi]] = {
+            str(i): {"omega": float(om_ref[i] ** kg),
+                     "proportion": float(w_ref[i])}
+            for i in range(k)
+        }
+
+    def count(sp):
+        return sum(int(np.prod(s.shape)) if s.shape else 1 for s in sp.values())
+
+    fits = {
+        "Nucleotide GTR": model_fit_entry(
+            gtr.loglik, gtr.n_parameters, data.sample_size,
+            frequencies=gtr.frequencies, display_order=0,
+        ),
+        "MG94xREV with separate rates for branch sets": model_fit_entry(
+            mg.loglik, mg.n_parameters, data.sample_size, display_order=1,
+        ),
+        "RELAX alternative": model_fit_entry(
+            alt_lnl, count(specs) + 9, data.sample_size, display_order=2,
+            rate_distributions=alt_dists,
+        ),
+        "RELAX null": model_fit_entry(
+            null_lnl, count(null_specs) + 9, data.sample_size, display_order=3,
+        ),
+    }
+    json = analysis_json(
+        info="RELAX (group mode): tests for differences of selective "
+             "pressures among 3 or more branch groups",
+        version="4.1",
+        data=data,
+        fits=fits,
+        extra={
+            "test results": {
+                "LRT": lrt,
+                "p-value": p_value,
+                "relaxation or intensification parameter": k_mles,
+                "degrees of freedom": df,
+            },
+        },
+    )
+    return RELAXResult(
+        json=json, k=k_mles.get(ordered[1], 1.0), lrt=lrt, p_value=p_value,
+        fits={name: entry["Log Likelihood"] for name, entry in fits.items()},
+        distributions={"alternative": alt_dists, "partitioned descriptive": None},
+        data=data, gtr=gtr, mg94=mg,
+    )

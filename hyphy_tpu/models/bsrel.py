@@ -194,3 +194,73 @@ class BSRELEngine:
             params, omegas, weights, t_b, srv_rates, srv_weights
         )
         return jnp.dot(sll, self.pattern_weights)
+
+    def branch_class_site_logliks(
+        self, params, omegas, weights, t_b, srv_rates, srv_weights,
+        children, branch_ids,
+    ):
+        """[n_sel, K, patterns] site log-likelihoods with ONE branch's
+        omega-mixture pinned to each class in turn (all other branches
+        keep the fitted mixture; the synonymous-rate mixture still applies
+        site-wise).
+
+        Reference: ``BUSTED.bf:1060-1092`` — per tested branch, the
+        mixture weights are set to a delta on class k and the whole LF
+        re-evaluated; here each (branch, class) costs two matvecs against
+        precomputed inside/outside flux vectors
+        (:func:`ops.ancestral.branch_flux_vectors`).
+
+        ``children``: static per-node child lists; ``branch_ids``: [n_sel]
+        node indices whose branch is profiled.
+        """
+        from hyphy_tpu.ops.ancestral import branch_flux_vectors
+
+        g, k = omegas.shape
+        m = self._family_generators(params, omegas)              # [G*K, S, S]
+        left, lam, right = expm_ops.reversible_spectral(m, self.freqs)
+        s = m.shape[-1]
+        left = left.reshape(g, k, s, s)[self.group_of_branch]    # [B,K,S,S]
+        right = right.reshape(g, k, s, s)[self.group_of_branch]
+        lam_b = lam.reshape(g, k, s)[self.group_of_branch]       # [B,K,S]
+        w_b = weights[self.group_of_branch]                      # [B,K]
+        c_srv = srv_rates.shape[0]
+        times = srv_rates[:, None] * t_b[None, :]                # [C, B]
+
+        out = []
+        for ci in range(c_srv):
+            # mixed propagators for this srv class (all branches)
+            el = jnp.exp(lam_b * times[ci][:, None, None])       # [B,K,S]
+            el_w = el * w_b[:, :, None]
+            p_mix = jnp.einsum("bkij,bkj,bkjl->bil", left, el_w, right)
+            p_mix = expm_ops.row_renormalize(jnp.maximum(p_mix, 0.0))
+            clv, log_clv, up, log_up = branch_flux_vectors(
+                p_mix, self.leaf_partials, self.freqs, self.pdata, children
+            )
+            # per selected branch: per-class propagator [K,S,S]
+            sel = []
+            for b in [int(x) for x in branch_ids]:
+                p_k = jnp.einsum(
+                    "kij,kj,kjl->kil", left[b], el[b], right[b]
+                )
+                p_k = expm_ops.row_renormalize(jnp.maximum(p_k, 0.0))
+                flux = jnp.einsum(
+                    "pi,kij,pj->kp", up[b], p_k, clv[b]
+                )                                               # [K, patterns]
+                sel.append(
+                    jnp.log(jnp.maximum(flux, 1e-300))
+                    + (log_clv[b] + log_up[b])[None, :]
+                )
+            out.append(jnp.stack(sel))                           # [n_sel,K,pat]
+        stack = jnp.stack(out)                                   # [C,n_sel,K,pat]
+        logw = jnp.log(jnp.maximum(srv_weights, 1e-300))
+        return jax.scipy.special.logsumexp(
+            stack + logw[:, None, None, None], axis=0
+        )
+
+    @staticmethod
+    def class_posteriors(sll_bk, weights_k):
+        """w_k exp(sll_k) normalized over k — the reference's
+        ``busted.mixture_site_logl`` posterior (BUSTED.bf:1098)."""
+        logw = jnp.log(jnp.maximum(weights_k, 1e-300))
+        lp = sll_bk + logw[None, :, None]
+        return jnp.exp(lp - jax.scipy.special.logsumexp(lp, axis=1, keepdims=True))

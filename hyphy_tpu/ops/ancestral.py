@@ -189,6 +189,99 @@ def marginal_posteriors(
         post.append(joint / z)
     return jnp.stack(post)
 
+def branch_flux_vectors(
+    p_matrices: jnp.ndarray,     # [n_nodes(+1), S, S]
+    leaf_partials: jnp.ndarray,  # [n_leaves, patterns, S]
+    root_freqs: jnp.ndarray,
+    data: PruningData,
+    children: list,
+) -> tuple:
+    """Inside CLVs and parent-side outside vectors for EVERY branch, with
+    explicit log-scales, so a single branch's model can be swapped without
+    re-pruning:
+
+        siteL(P_b -> M) = sum_ij up[b,p,i] M[i,j] clv[b,p,j]
+                          * exp(log_clv[b,p] + log_up[b,p])
+
+    This is the engine behind the reference's per-branch mixture-class
+    profiling (``BUSTED.bf:1060-1092``: refit site likelihoods with one
+    branch's mixture weights pinned per class) — here each branch costs two
+    matvec batches instead of a full LF re-evaluation.
+
+    Returns ``(clv [n_nodes, patterns, S], log_clv [n_nodes, patterns],
+    up [n_nodes, patterns, S], log_up [n_nodes, patterns])`` where row b
+    describes the branch ABOVE node b (the root row is unused).
+    """
+    n_nodes = data.n_nodes
+    patterns, states = leaf_partials.shape[1], leaf_partials.shape[2]
+    dtype = leaf_partials.dtype
+    eye = jnp.eye(states, dtype=dtype)
+    if p_matrices.shape[0] < n_nodes + 1:
+        pad = jnp.broadcast_to(eye, (n_nodes + 1 - p_matrices.shape[0], states, states))
+        p_all = jnp.concatenate([p_matrices.astype(dtype), pad], axis=0)
+    else:
+        p_all = p_matrices.astype(dtype)
+
+    clv = [None] * n_nodes
+    log_clv = [None] * n_nodes
+    for i in range(data.n_leaves):
+        clv[i] = leaf_partials[i]
+        log_clv[i] = jnp.zeros((patterns,), dtype)
+    order = []
+    done = set(range(data.n_leaves))
+    pending = [n for n in range(data.n_leaves, n_nodes)]
+    while pending:
+        for n in list(pending):
+            if all(c in done for c in children[n]):
+                order.append(n)
+                done.add(n)
+                pending.remove(n)
+
+    def message(c):
+        return clv[c] @ p_all[c].T  # [patterns, S]
+
+    for n in order:
+        acc = jnp.ones((patterns, states), dtype)
+        sc = jnp.zeros((patterns,), dtype)
+        for c in children[n]:
+            acc = acc * message(c)
+            sc = sc + log_clv[c]
+        mx = jnp.maximum(jnp.max(acc, axis=-1, keepdims=True), 1e-300)
+        clv[n] = acc / mx
+        log_clv[n] = sc + jnp.log(mx[..., 0])
+
+    up = [None] * n_nodes
+    log_up = [None] * n_nodes
+    root = n_nodes - 1
+    up[root] = jnp.broadcast_to(root_freqs.astype(dtype), (patterns, states))
+    log_up[root] = jnp.zeros((patterns,), dtype)
+    for n in reversed(order):
+        # outside vector AT node n (its own state space): the parent-side
+        # vector pushed through n's branch matrix; the root's outside is pi
+        if n == root:
+            o_n = up[root]
+        else:
+            o_n = up[n] @ p_all[n]           # O_n[j] = sum_i U_n[i] P_n[i,j]
+        for c in children[n]:
+            acc = o_n
+            sc = log_up[n]
+            for sib in children[n]:
+                if sib != c:
+                    acc = acc * message(sib)
+                    sc = sc + log_clv[sib]
+            mx = jnp.maximum(jnp.max(acc, axis=-1, keepdims=True), 1e-300)
+            up[c] = acc / mx
+            log_up[c] = sc + jnp.log(mx[..., 0])
+
+    zeros_v = jnp.zeros((patterns, states), dtype)
+    zeros_s = jnp.zeros((patterns,), dtype)
+    up[root] = zeros_v
+    log_up[root] = zeros_s
+    return (
+        jnp.stack(clv), jnp.stack(log_clv), jnp.stack(up), jnp.stack(log_up)
+    )
+
+
 def sample_ancestors(
     p_matrices,
     leaf_partials,

@@ -112,7 +112,10 @@ def site_log_likelihoods(
 
     clv = jnp.ones((n_nodes + 1 + data.max_width, patterns, states), dtype=dtype)
     clv = clv.at[: data.n_leaves].set(leaf_partials)
-    log_scale = jnp.zeros((patterns,), dtype=dtype)
+    # the running log-scale sums ~O(tree depth) terms to a large magnitude;
+    # accumulate in fp64 (per-level log/sum stay in the compute dtype) so an
+    # fp32 CLV path does not quantize site lnL at the accumulator
+    log_scale = jnp.zeros((patterns,), dtype=jnp.float64)
 
     def level_step(carry, level):
         clv, log_scale = carry
@@ -129,7 +132,9 @@ def site_log_likelihoods(
         mx = jnp.max(prod, axis=-1, keepdims=True)
         mx = jnp.where(mx > 0, mx, 1.0)
         prod = prod / mx
-        log_scale = log_scale + jnp.sum(jnp.log(mx[..., 0]), axis=0)
+        log_scale = log_scale + jnp.sum(
+            jnp.log(mx[..., 0]), axis=0
+        ).astype(jnp.float64)
         clv = clv.at[node_ids].set(prod, unique_indices=True)
         return (clv, log_scale), None
 
@@ -140,7 +145,7 @@ def site_log_likelihoods(
     )
     root_like = clv[n_nodes - 1] @ root_freqs.astype(dtype)  # [patterns]
     root_like = jnp.maximum(root_like, jnp.finfo(dtype).tiny)
-    return jnp.log(root_like) + log_scale
+    return jnp.log(root_like.astype(jnp.float64)) + log_scale
 
 
 def _site_log_likelihoods_unrolled(
@@ -168,7 +173,8 @@ def _site_log_likelihoods_unrolled(
         ],
         axis=0,
     )
-    log_scale = jnp.zeros((patterns,), dtype=dtype)
+    # fp64 log-scale accumulator (see site_log_likelihoods)
+    log_scale = jnp.zeros((patterns,), dtype=jnp.float64)
 
     for offset, child_storage, child_branch in data.ulevels:
         w, k = child_storage.shape
@@ -182,12 +188,14 @@ def _site_log_likelihoods_unrolled(
         mx = jnp.max(prod, axis=-1, keepdims=True)
         mx = jnp.where(mx > 0, mx, 1.0)
         prod = prod / mx
-        log_scale = log_scale + jnp.sum(jnp.log(mx[..., 0]), axis=0)
+        log_scale = log_scale + jnp.sum(
+            jnp.log(mx[..., 0]), axis=0
+        ).astype(jnp.float64)
         buf = jax.lax.dynamic_update_slice(buf, prod, (offset, 0, 0))
 
     root_like = buf[n_nodes - 1] @ root_freqs.astype(dtype)
     root_like = jnp.maximum(root_like, jnp.finfo(dtype).tiny)
-    return jnp.log(root_like) + log_scale
+    return jnp.log(root_like.astype(jnp.float64)) + log_scale
 
 
 def mixture_site_log_likelihoods(

@@ -163,6 +163,12 @@ class Tree:
             mask[self.n_leaves :] = True
         elif key == "leaves":
             mask[: self.n_leaves] = True
+        elif key in ("unlabeled", "unlabeled branches"):
+            # branches with no {label} annotation — a selectable set in the
+            # reference's branch-selection menus (e.g. BUSTED-PH.bf:331)
+            for b in range(n):
+                if self.labels[b] is None:
+                    mask[b] = True
         else:
             for b in range(n):
                 lbl = self.labels[b]
