@@ -32,6 +32,24 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: analysis pipelines build fresh jitted
+# closures per run, so the in-memory jit cache never hits across runs; the
+# disk cache keys on HLO content and makes warm runs skip compilation
+# entirely (essential on remote accelerators where one 61-state codon
+# program compiles for ~30s).
+_cache_dir = os.environ.get(
+    "HYPHY_TPU_XLA_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "hyphy_tpu", "xla"),
+)
+if _cache_dir and _cache_dir != "0":
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
+
 # Some environments force a platform via jax.config at interpreter start
 # (overriding JAX_PLATFORMS); HYPHY_TPU_PLATFORM re-overrides for tests and
 # CPU parity runs: e.g. HYPHY_TPU_PLATFORM=cpu.

@@ -44,7 +44,11 @@ class FMMResult:
 
 
 def _fit_one(data, mg, hits: str, rate_classes: int, triple_islands: bool,
-             precision: float, prev=None):
+             precision: float, prev=None, delta_starts=(0.05,)):
+    """``delta_starts``: multi-start values for the 2-hit rate — the GDD x
+    multi-hit surface is multimodal and a single warm start can under-fit
+    the 2H model by ~1.5 lnL (enough to corrupt the 2H:1H LRT); each start
+    gets a coarse fit and the winners are polished."""
     model = MG94xREVMultiHitGDD(
         data.genetic_code,
         mg.corner_freqs,
@@ -74,7 +78,22 @@ def _fit_one(data, mg, hits: str, rate_classes: int, triple_islands: bool,
             init["psi_syn"] = jnp.asarray(0.05)
     if prev is not None:  # warm-start from the nested fit
         init.update({k: v for k, v in prev.params.items() if k in lf.specs})
-    res = lf.fit(init=init, precision=precision)
+    if hits == "None" or len(delta_starts) <= 1:
+        res = lf.fit(init=init, precision=precision)
+    else:
+        coarse = []
+        for d0 in delta_starts:
+            start = dict(init)
+            start["delta"] = jnp.asarray(d0)
+            if hits == "Double+Triple":
+                start["psi"] = jnp.asarray(max(d0 / 2, 1e-3))
+            coarse.append(lf.fit(init=start, precision=max(precision, 0.05)))
+        coarse.sort(key=lambda r: -r.loglik)
+        res = None
+        for cand in coarse[:2]:
+            polished = lf.fit(init=cand.params, precision=precision)
+            if res is None or polished.loglik > res.loglik:
+                res = polished
     site_lnl = np.asarray(lf.site_log_likelihoods(res.params)[0])
     return res, model, site_lnl
 
@@ -96,11 +115,12 @@ def run(
         data, mg, "None", rate_classes, False, precision
     )
     res2, model2, site2 = _fit_one(
-        data, mg, "Double", rate_classes, False, precision, prev=res1
+        data, mg, "Double", rate_classes, False, precision, prev=res1,
+        delta_starts=(0.02, 0.1, 0.4),
     )
     res3, model3, site3 = _fit_one(
         data, mg, "Double+Triple", rate_classes, triple_islands, precision,
-        prev=res2,
+        prev=res2, delta_starts=(0.02, 0.1, 0.4),
     )
 
     lrt21, p21 = common.lrt(res2.loglik, res1.loglik, 1)

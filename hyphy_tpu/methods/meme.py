@@ -128,9 +128,13 @@ def run(
             q_syn, q_non = model.basis_matrices(mgp.params)
         rate_syn = float(q_syn.sum(-1) @ model.frequencies)
         rate_non = float(q_non.sum(-1) @ model.frequencies)
-        alpha_hat = jnp.asarray(mgp.alphas)
-        freqs = model.frequencies
-        leaf_partials = jnp.asarray(filt.leaf_partials())
+        from hyphy_tpu.config import settings as _settings
+
+        dtype = _settings.likelihood_dtype()
+        use_spectral = dtype == jnp.float64  # fp32 eigh: ~1e-2 error on 61-state Q
+        alpha_hat = jnp.asarray(mgp.alphas, dtype)
+        freqs = model.frequencies.astype(dtype)
+        leaf_partials = jnp.asarray(filt.leaf_partials(), dtype)
         pdata = pruning.build_pruning_data(data.tree)
         tested_j = jnp.asarray(tested.astype(np.float64))
         tested_idx = np.nonzero(tested)[0]
@@ -166,14 +170,27 @@ def run(
             weights (for EBF computations); ``lp`` overrides the leaf-partials
             tensor (bootstrap replicates)."""
             lp = leaf_partials if lp is None else lp
-            m = family_matrices(p)
-            left, lam, right = expm_ops.reversible_spectral(m, freqs)
+            m = family_matrices(p).astype(dtype)
             if forced_weights is None:
                 w = _stick_weights(jnp.stack([p[f"w_{i}"] for i in range(1, K)]))
                 cw = jnp.broadcast_to(w[None, :], (n_branches, K))
             else:
                 cw = forced_weights
             cw = jnp.where(jnp.asarray(tested)[:, None], cw, bg_onehot[None, :])
+            if not use_spectral:
+                # fp32/TPU: per-family shared-power Taylor propagators,
+                # mixed densely per branch (matrix.cpp:9974 analogue)
+                p_f = jax.vmap(
+                    lambda mf: expm_ops.shared_taylor_propagators(mf, alpha_hat)
+                )(m)                                         # [F, B, S, S]
+                cw_d = cw.astype(dtype)
+                rows = jnp.arange(n_branches)
+                p_sel = p_f[comp_index_j.T, rows[None, :]]   # [Kc, B, S, S]
+                p_b = jnp.einsum("kbij,bk->bij", p_sel, cw_d)
+                return pruning.single_site_log_likelihood_dense(
+                    p_b, lp[:, i, :], freqs, pdata
+                )
+            left, lam, right = expm_ops.reversible_spectral(m, freqs)
             return pruning.single_site_log_likelihood_spectral_mixture(
                 left, lam, right, comp_index_j, cw, alpha_hat,
                 lp[:, i, :], freqs, pdata,
@@ -189,9 +206,17 @@ def run(
             b = jnp.stack(betas)
             m = fill_diagonal_from_rows(
                 p["alpha"] * qs[None] + b[:, None, None] * qn[None]
-            )
-            left, lam, right = expm_ops.reversible_spectral(m, freqs)
+            ).astype(dtype)
             group = jnp.asarray(np.where(tested, 0, 1 if has_background else 0).astype(np.int32))
+            if not use_spectral:
+                p_g = jax.vmap(
+                    lambda mg_: expm_ops.shared_taylor_propagators(mg_, alpha_hat)
+                )(m)                                         # [G, B, S, S]
+                p_b = p_g[group, jnp.arange(n_branches)]
+                return pruning.single_site_log_likelihood_dense(
+                    p_b, lp[:, i, :], freqs, pdata
+                )
+            left, lam, right = expm_ops.reversible_spectral(m, freqs)
             return pruning.single_site_log_likelihood_spectral(
                 left[group], lam[group], right[group], alpha_hat,
                 lp[:, i, :], freqs, pdata,

@@ -52,12 +52,28 @@ def maximize(
     memory_size: int = 25,
 ) -> Tuple[Params, jnp.ndarray, jnp.ndarray]:
     """Maximize ``objective`` over bounded params (host L-BFGS-B driver).
-    Returns (params, value, iterations)."""
-    from scipy.optimize import minimize
+    Returns (params, value, iterations).
+
+    On an accelerator backend the host loop's per-evaluation round trip
+    (~100ms through a tunneled TPU) dominates wall-clock, so the fit runs
+    as ONE device-side program instead (``maximize_jax``'s jitted L-BFGS
+    while_loop — the reference's broadcast-theta/reduce-lnL MPI shape
+    collapsed into the XLA program).  Set HYPHY_TPU_HOST_OPTIMIZER=1 to
+    force the host driver anywhere."""
+    import os as _os
 
     n_free = count_parameters(specs)
     if n_free == 0:
         return dict(init), objective(init), jnp.zeros((), jnp.int32)
+    if (
+        jax.default_backend() != "cpu"
+        and _os.environ.get("HYPHY_TPU_HOST_OPTIMIZER") != "1"
+    ):
+        return maximize_jax(
+            objective, specs, init, precision=precision,
+            max_iterations=max_iterations,
+        )
+    from scipy.optimize import minimize
     if max_iterations is None:
         max_iterations = max(500, 30 * n_free)
 
@@ -239,7 +255,6 @@ def maximize_jax(
         value = objective(to_bounded(u, specs))
         return jnp.where(jnp.isfinite(value), -value, jnp.inf)
 
-    u0 = to_unbounded(clip_to_bounds(init, specs), specs)
     solver = optax.lbfgs(memory_size=memory_size)
     value_and_grad = optax.value_and_grad_from_state(loss)
 
@@ -270,15 +285,21 @@ def maximize_jax(
         converged = jnp.logical_or(converged, flat_count >= hard_patience)
         return jnp.logical_and(it < max_iterations, jnp.logical_not(converged))
 
-    state0 = solver.init(u0)
-    u, state, value, it, _, _ = jax.lax.while_loop(
-        cond,
-        step,
-        (u0, state0, jnp.asarray(jnp.inf, jnp.float64), jnp.zeros((), jnp.int32),
-         jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, jnp.float64)),
-    )
-    final_value = loss(u)
-    # the last accepted point may be (slightly) worse than the best seen
-    # inside the line search; report the evaluated endpoint
-    final = to_bounded(u, specs)
+    def solve(u0):
+        state0 = solver.init(u0)
+        u, state, value, it, _, _ = jax.lax.while_loop(
+            cond,
+            step,
+            (u0, state0, jnp.asarray(jnp.inf, jnp.float64),
+             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+             jnp.asarray(jnp.inf, jnp.float64)),
+        )
+        # the last accepted point may be (slightly) worse than the best seen
+        # inside the line search; report the evaluated endpoint
+        return to_bounded(u, specs), loss(u), it
+
+    u0 = to_unbounded(clip_to_bounds(init, specs), specs)
+    # one device program end-to-end: on a remote accelerator every eager op
+    # outside jit costs a host round-trip
+    final, final_value, it = jax.jit(solve)(u0)
     return final, -final_value, it

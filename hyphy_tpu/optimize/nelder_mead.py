@@ -10,10 +10,11 @@ reference gets for free serially:
   * the whole batch of simplexes advances inside one ``lax.while_loop``
     whose condition is "any site still has simplex value-spread > tol" —
     so the loop runs max-over-sites iterations, not a fixed worst case;
-  * each iteration costs a fixed FOUR batched objective evaluations
-    (reflect, expand, outside-contract, and a rank-1 worst-toward-best
-    fallback that replaces the classic full shrink), instead of the
-    n+4 a naive lockstep decision tree pays;
+  * each iteration costs a fixed THREE batched objective evaluations
+    (reflect; a per-item adaptive second probe that is the expansion when
+    the reflection leads and the outside-contraction otherwise; and a
+    rank-1 worst-toward-best fallback replacing the classic full shrink),
+    instead of the n+4 a naive lockstep decision tree pays;
   * converged sites are frozen (masked updates), so their values are
     bit-stable once done.
 
@@ -102,27 +103,35 @@ def _batched_nelder_mead(
         centroid = jnp.mean(simplex[:, :-1], axis=1)
 
         reflected = centroid + (centroid - worst)
-        expanded = centroid + 2.0 * (centroid - worst)
-        contracted = centroid - 0.5 * (centroid - worst)
-        fallback = best + 0.5 * (worst - best)             # rank-1 shrink
         f_r = f_batch(reflected)
-        f_e = f_batch(expanded)
-        f_c = f_batch(contracted)
+        # adaptive second probe per item: expansion when the reflection
+        # leads, outside-contraction otherwise — one batched evaluation
+        # covers both branches of the classic decision tree
+        want_expand = f_r > values[:, 0]
+        second = jnp.where(
+            want_expand[:, None],
+            centroid + 2.0 * (centroid - worst),
+            centroid - 0.5 * (centroid - worst),
+        )
+        f_2 = f_batch(second)
+        fallback = best + 0.5 * (worst - best)             # rank-1 shrink
         f_s = f_batch(fallback)
 
-        use_expand = jnp.logical_and(f_r > values[:, 0], f_e > f_r)
+        f_e = jnp.where(want_expand, f_2, -jnp.inf)
+        f_c = jnp.where(want_expand, -jnp.inf, f_2)
+        use_expand = jnp.logical_and(want_expand, f_e > f_r)
         use_reflect = jnp.logical_and(f_r > values[:, -2], ~use_expand)
         use_contract = jnp.logical_and(
             ~use_expand, jnp.logical_and(~use_reflect, f_c > values[:, -1])
         )
         new_point = jnp.where(
-            use_expand[:, None], expanded,
+            use_expand[:, None], second,
             jnp.where(use_reflect[:, None], reflected,
-                      jnp.where(use_contract[:, None], contracted, fallback)),
+                      jnp.where(use_contract[:, None], second, fallback)),
         )
         new_value = jnp.where(
-            use_expand, f_e,
-            jnp.where(use_reflect, f_r, jnp.where(use_contract, f_c, f_s)),
+            use_expand, f_2,
+            jnp.where(use_reflect, f_r, jnp.where(use_contract, f_2, f_s)),
         )
         new_simplex = simplex.at[:, -1].set(new_point)
         new_values = values.at[:, -1].set(new_value)
@@ -148,7 +157,7 @@ def nelder_mead(
     init: Params,
     max_iterations: int = 200,
     initial_step: float = 0.5,
-    tol: float = 1e-7,
+    tol: float = 1e-6,
 ) -> Tuple[Params, jnp.ndarray]:
     """Maximize ``objective`` over bounded params; returns (params, value)."""
     to_vec, to_dict, n = _pack(specs)
@@ -173,7 +182,7 @@ def vmapped_nelder_mead(
     init_batch: Params,
     idx,
     max_iterations: int = 200,
-    tol: float = 1e-7,
+    tol: float = 1e-6,
     initial_step: float = 0.5,
 ):
     """Per-item Nelder-Mead: ``objective(item_index, params)``.
