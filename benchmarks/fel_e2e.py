@@ -39,18 +39,29 @@ def _find_binary():
     return fb()
 
 
-def _synth_workload(n_taxa, n_codons, seed=11):
-    from hyphy_tpu.utils.synth import random_tree_newick, synthetic_codon_alignment
+def _synth_workload(n_taxa, n_codons, seed=11, simulated=False):
+    """``simulated=True``: codons evolved ALONG the tree (finite distances;
+    required at 1000 taxa, where iid-random sequences saturate the tree
+    past the reference binary's numeric limits and it aborts)."""
+    from hyphy_tpu.utils.synth import (
+        random_tree_newick,
+        simulated_codon_alignment,
+        synthetic_codon_alignment,
+    )
 
-    aln = synthetic_codon_alignment(n_taxa, n_codons, seed=seed)
     d = tempfile.mkdtemp(prefix="fel_e2e_")
+    if simulated:
+        aln, newick = simulated_codon_alignment(n_taxa, n_codons, seed=seed)
+    else:
+        aln = synthetic_codon_alignment(n_taxa, n_codons, seed=seed)
+        newick = random_tree_newick(n_taxa, seed=seed)
     fa = os.path.join(d, f"synth{n_taxa}.fasta")
     with open(fa, "w") as fh:
         for name, seq in zip(aln.names, aln.sequences):
             fh.write(f">{name}\n{seq}\n")
     tr = os.path.join(d, f"synth{n_taxa}.nwk")
     with open(tr, "w") as fh:
-        fh.write(random_tree_newick(n_taxa, seed=seed))
+        fh.write(newick)
     return fa, tr
 
 
@@ -103,8 +114,8 @@ def main(argv):
     fa, tr = _synth_workload(100, 300)
     workloads.append(("synthetic 100 taxa x 300 codons", fa, tr))
     if large:
-        fa, tr = _synth_workload(1000, 300)
-        workloads.append(("synthetic 1000 taxa x 300 codons", fa, tr))
+        fa, tr = _synth_workload(1000, 300, simulated=True)
+        workloads.append(("simulated 1000 taxa x 300 codons", fa, tr))
 
     for label, aln, tree in workloads:
         entry = {}

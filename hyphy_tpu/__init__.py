@@ -41,7 +41,14 @@ _cache_dir = os.environ.get(
     "HYPHY_TPU_XLA_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "hyphy_tpu", "xla"),
 )
-if _cache_dir and _cache_dir != "0":
+try:
+    _backend_is_cpu = jax.default_backend() == "cpu"
+except Exception:
+    _backend_is_cpu = True
+# accelerator backends only: CPU compiles are cheap, and XLA:CPU AOT cache
+# entries embed host-feature sets that can mismatch across processes
+# (risking SIGILL on load)
+if _cache_dir and _cache_dir != "0" and not _backend_is_cpu:
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)

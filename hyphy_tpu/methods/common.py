@@ -237,11 +237,34 @@ class GTRFit:
     model: GTR
 
 
+def _host_cpu_context():
+    """Nucleotide-stage fits run on the HOST CPU even when the session's
+    accelerator is a TPU: 4-state pruning is latency-bound there (tiny
+    kernels over many sequential tree levels under-fill the MXU/VPU) and
+    runs faster in fp64 on the host, which also keeps the GTR hand-off
+    numerically identical to the CPU parity path.  Codon-stage (61-state)
+    programs stay on the accelerator."""
+    import contextlib
+
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return contextlib.nullcontext()
+    return jax.default_device(jax.devices("cpu")[0])
+
+
 def fit_gtr(data: LoadedData, precision: float = 1e-5) -> GTRFit:
     """Nucleotide GTR fit (doGTR, shared-load-file.bf:448)."""
+    with _host_cpu_context():
+        return _fit_gtr_impl(data, precision)
+
+
+def _fit_gtr_impl(data: LoadedData, precision: float) -> GTRFit:
     freqs = freq_mod.empirical_nucleotide(data.nuc_filter)
     model = GTR(freqs)
-    lf = LikelihoodFunction([Partition(data.nuc_filter, data.tree, model)])
+    lf = LikelihoodFunction(
+        [Partition(data.nuc_filter, data.tree, model)], dtype="float64"
+    )
     init = {}
     # reference initial values: CT=1, others 0.25 (doGTR)
     for pair in ("AC", "AT", "CG", "GT"):
@@ -434,14 +457,18 @@ def fit_gtr_multi(md: MultiLoadedData, precision: float = 1e-5) -> MultiGTRFit:
     if md.n_partitions == 1:
         g = fit_gtr(md.parts[0], precision=precision)
         return MultiGTRFit(loglik=g.loglik, parts=[g], n_parameters=g.n_parameters)
+    with _host_cpu_context():
+        return _fit_gtr_multi_impl(md, precision)
 
+
+def _fit_gtr_multi_impl(md: MultiLoadedData, precision: float) -> MultiGTRFit:
     # pool frequency counts over the per-partition filters (NOT the raw
     # full alignment: partition boundaries may shift the reading frame)
     freqs = freq_mod.empirical_nucleotide([p.nuc_filter for p in md.parts])
     models = [GTR(freqs) for _ in md.parts]
     lf = LikelihoodFunction([
         Partition(p.nuc_filter, p.tree, m) for p, m in zip(md.parts, models)
-    ])
+    ], dtype="float64")
     init = {f"theta_{pair}": jnp.asarray(0.25) for pair in ("AC", "AT", "CG", "GT")}
     init["theta_CT"] = jnp.asarray(1.0)
     for i, p in enumerate(md.parts):

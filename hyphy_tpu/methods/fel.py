@@ -328,18 +328,22 @@ def run(
                 a * qs[None] + b[:, None, None] * qn[None]
             ).astype(dtype)                                          # [G,S,S]
             if not use_spectral:
-                # fp32/TPU: shared-power Taylor propagators (fp32-exact)
-                # + dense per-site pruning; reference fp32 expm analogue
-                # matrix.cpp:9974
-                p_g = jax.vmap(
-                    lambda mg: expm_ops.shared_taylor_propagators(mg, alpha_hat)
-                )(m)                                                 # [G,B,S,S]
-                p_b = (
-                    p_g[group_of_branch, jnp.arange(alpha_hat.shape[0])]
-                    if has_background else p_g[0]
-                )
-                return pruning.single_site_log_likelihood_dense(
-                    p_b, leaf_vecs, freqs, pdata
+                # fp32/TPU: Taylor expm applied as VECTOR actions (fp32-
+                # exact, no [B,S,S] materialization; reference fp32 expm
+                # analogue matrix.cpp:9974)
+                qn_g, m2p_g, r_g, j_g = jax.vmap(
+                    lambda mg: expm_ops.taylor_action_factors(mg, alpha_hat)
+                )(m)                                        # [G,...],[G,B]
+                if has_background:
+                    rows = jnp.arange(alpha_hat.shape[0])
+                    r_b = r_g[group_of_branch, rows]
+                    j_b = j_g[group_of_branch, rows]
+                else:
+                    r_b, j_b = r_g[0], j_g[0]
+                return pruning.single_site_log_likelihood_taylor(
+                    qn_g, m2p_g, r_b, j_b, group_of_branch,
+                    expm_ops.taylor_action_terms(dtype),
+                    leaf_vecs, freqs, pdata,
                 )
             left, lam, right = expm_ops.reversible_spectral(m, freqs)
             if has_background:

@@ -178,17 +178,24 @@ def run(
                 cw = forced_weights
             cw = jnp.where(jnp.asarray(tested)[:, None], cw, bg_onehot[None, :])
             if not use_spectral:
-                # fp32/TPU: per-family shared-power Taylor propagators,
-                # mixed densely per branch (matrix.cpp:9974 analogue)
-                p_f = jax.vmap(
-                    lambda mf: expm_ops.shared_taylor_propagators(mf, alpha_hat)
-                )(m)                                         # [F, B, S, S]
-                cw_d = cw.astype(dtype)
-                rows = jnp.arange(n_branches)
-                p_sel = p_f[comp_index_j.T, rows[None, :]]   # [Kc, B, S, S]
-                p_b = jnp.einsum("kbij,bk->bij", p_sel, cw_d)
-                return pruning.single_site_log_likelihood_dense(
-                    p_b, lp[:, i, :], freqs, pdata
+                # fp32/TPU: per-family Taylor expm as VECTOR actions mixed
+                # per branch (matrix.cpp:9974 analogue; no [B,S,S] tensors)
+                qn_f, m2p_f, r_f, j_f = jax.vmap(
+                    lambda mf: expm_ops.taylor_action_factors(mf, alpha_hat)
+                )(m)                                         # [Fam,...],[Fam,B]
+                n_fam = m.shape[0]
+                # dense per-branch family weights from (comp_index, cw)
+                w_dense = jnp.zeros((n_branches, n_fam), dtype)
+                w_dense = w_dense.at[
+                    jnp.repeat(jnp.arange(n_branches), K),
+                    comp_index_j.reshape(-1),
+                ].add(cw.astype(dtype).reshape(-1))
+                return pruning.single_site_log_likelihood_taylor(
+                    qn_f, m2p_f, r_f.T, j_f.T,
+                    jnp.zeros(n_branches, jnp.int32),
+                    expm_ops.taylor_action_terms(dtype),
+                    lp[:, i, :], freqs, pdata,
+                    mix_weights=w_dense,
                 )
             left, lam, right = expm_ops.reversible_spectral(m, freqs)
             return pruning.single_site_log_likelihood_spectral_mixture(
@@ -209,12 +216,14 @@ def run(
             ).astype(dtype)
             group = jnp.asarray(np.where(tested, 0, 1 if has_background else 0).astype(np.int32))
             if not use_spectral:
-                p_g = jax.vmap(
-                    lambda mg_: expm_ops.shared_taylor_propagators(mg_, alpha_hat)
-                )(m)                                         # [G, B, S, S]
-                p_b = p_g[group, jnp.arange(n_branches)]
-                return pruning.single_site_log_likelihood_dense(
-                    p_b, lp[:, i, :], freqs, pdata
+                qn_g, m2p_g, r_g, j_g = jax.vmap(
+                    lambda mg_: expm_ops.taylor_action_factors(mg_, alpha_hat)
+                )(m)
+                rows = jnp.arange(n_branches)
+                return pruning.single_site_log_likelihood_taylor(
+                    qn_g, m2p_g, r_g[group, rows], j_g[group, rows], group,
+                    expm_ops.taylor_action_terms(dtype),
+                    lp[:, i, :], freqs, pdata,
                 )
             left, lam, right = expm_ops.reversible_spectral(m, freqs)
             return pruning.single_site_log_likelihood_spectral(

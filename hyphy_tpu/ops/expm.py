@@ -173,6 +173,63 @@ def shared_taylor_propagators(
     return row_renormalize(p)
 
 
+def taylor_action_factors(
+    q: jnp.ndarray,              # [S, S] one generator (e.g. one site's Q)
+    t: jnp.ndarray,              # [B] per-branch times
+    terms: int = None,
+    max_squarings: int = None,
+):
+    """Factors for applying ``expm(q t_b)`` to VECTORS without ever
+    materializing the per-branch matrices.
+
+    Returns ``(qn [S,S], m2p [L,S,S], r [B], j [B] int32)`` with
+    ``P(t_b) = Taylor(r_b qn) @ prod_k (m2p[k])^{bit_k(j_b)}`` (everything
+    commutes — one shared generator).  ``m2p[k] = expm(2 qn)^(2^k)``.
+    Apply to a CLV vector v as: ladder steps ``v <- m2p[k] v`` where bit k
+    of ``j_b`` is set, then Horner ``acc <- v + (r_b/k) qn acc``.
+
+    The per-site methods use this to keep the memory footprint at
+    ``[sites, nodes, S]`` instead of the ``[sites, branches, S, S]``
+    (tens of GB at 1000 taxa) the dense propagator path needs.
+    """
+    dtype = q.dtype
+    if terms is None:
+        terms = 28 if dtype == jnp.float64 else 16
+    if max_squarings is None:
+        max_squarings = 8 if dtype == jnp.float64 else 5
+    s_dim = q.shape[-1]
+    norm = jnp.maximum(jnp.max(jnp.sum(jnp.abs(q), axis=-1)), 1e-30)
+    m = jnp.ceil(jnp.log2(norm))
+    qn = q * jnp.exp2(-m).astype(dtype)
+    t_eff = t * jnp.exp2(m).astype(dtype)
+    t_eff = jnp.minimum(
+        t_eff, jnp.asarray(2.0 ** (max_squarings + 1) - 0.01, dtype)
+    )
+    j_int = jnp.floor(t_eff * 0.5)
+    j = j_int.astype(jnp.int32)
+    r = t_eff - 2.0 * j_int.astype(dtype)
+
+    eye = jnp.eye(s_dim, dtype=dtype)
+    # expm(2 qn) via the shared Taylor series at argument 2
+    ks = jnp.arange(1, terms + 1, dtype=dtype)
+    coef2 = jnp.cumprod(2.0 / ks)
+    pk = eye
+    m2 = eye
+    for k in range(terms):
+        pk = jnp.matmul(pk, qn, precision=_PRECISION)
+        m2 = m2 + coef2[k] * pk
+    m2p = [m2]
+    for _ in range(max_squarings - 1):
+        m2p.append(jnp.matmul(m2p[-1], m2p[-1], precision=_PRECISION))
+    return qn, jnp.stack(m2p), r, j
+
+
+def taylor_action_terms(dtype) -> int:
+    """The Taylor term count :func:`taylor_action_factors` assumes for
+    ``dtype`` (kept separate so the factor function stays vmappable)."""
+    return 28 if jnp.dtype(dtype) == jnp.float64 else 16
+
+
 # ---------------------------------------------------------------------------
 # reversible fast path
 

@@ -354,6 +354,113 @@ def single_site_log_likelihood_dense(
     return jnp.log(root_like) + log_scale
 
 
+def single_site_log_likelihood_taylor(
+    qn: jnp.ndarray,            # [G, S, S] normalized generators per group
+    m2p: jnp.ndarray,           # [G, L, S, S] squaring-ladder matrices
+    r: jnp.ndarray,             # [n_branches] fractional Taylor times
+    j: jnp.ndarray,             # [n_branches] int ladder exponents
+    group_of_branch: jnp.ndarray,  # [n_branches] int32 in [0, G)
+    n_terms: int,
+    leaf_vectors: jnp.ndarray,  # [n_leaves, S] this site's leaf partials
+    root_freqs: jnp.ndarray,
+    data: PruningData,
+    mix_weights: jnp.ndarray = None,  # [n_branches, G]: P_b = sum_g w expm_g
+) -> jnp.ndarray:
+    """One site's log-likelihood with each branch's propagator applied as
+    a VECTOR action from :func:`ops.expm.taylor_action_factors` — ladder
+    steps ``v <- m2p[g,k] v`` by the bits of ``j_b``, then a Horner Taylor
+    recurrence ``acc <- v + (r_b/k) qn_g acc``.
+
+    fp32-exact like the dense Taylor path but without materializing
+    ``[branches, S, S]`` (vmapped over sites that tensor is tens of GB at
+    1000 taxa); uses the exact-width unrolled level schedule (the padded
+    scan wastes ~7x compute on wide-level trees).  Branch groups (G small:
+    tested/background) each run the shared-matrix action and the result is
+    selected per branch — G x compute but MXU-shaped matmuls throughout.
+    """
+    n_nodes = data.n_nodes
+    states = leaf_vectors.shape[-1]
+    dtype = leaf_vectors.dtype
+    assert data.ulevels is not None, "taylor action path needs ulevels"
+    n_groups = qn.shape[0]
+
+    if mix_weights is not None:
+        # mixture mode: r/j are PER (branch, component) — every component
+        # generator has its own norm scaling
+        r_all = jnp.zeros((n_nodes + 1, n_groups), dtype).at[: r.shape[0]].set(r)
+        j_all = jnp.zeros((n_nodes + 1, n_groups), jnp.int32).at[
+            : j.shape[0]
+        ].set(j)
+        # scratch branches mix to the identity action: full weight on
+        # component 0 with r = 0, j = 0
+        w_pad = jnp.zeros((n_nodes + 1, n_groups), dtype)
+        w_pad = w_pad.at[: mix_weights.shape[0]].set(mix_weights.astype(dtype))
+        w_pad = w_pad.at[mix_weights.shape[0] :, 0].set(1.0)
+        w_all = w_pad
+    else:
+        r_all = jnp.zeros((n_nodes + 1,), dtype).at[: r.shape[0]].set(r)
+        j_all = jnp.zeros((n_nodes + 1,), jnp.int32).at[: j.shape[0]].set(j)
+    g_all = jnp.zeros((n_nodes + 1,), jnp.int32).at[
+        : group_of_branch.shape[0]
+    ].set(group_of_branch.astype(jnp.int32))
+    n_ladder = m2p.shape[1]
+
+    buf = jnp.concatenate(
+        [leaf_vectors,
+         jnp.ones((n_nodes + 1 - data.n_leaves, states), dtype=dtype)],
+        axis=0,
+    )
+    log_scale = jnp.zeros((), dtype=dtype)
+
+    def action(v, rb, jb, g):
+        """expm action for one group's shared matrices on [F, S] rows."""
+        for k in range(n_ladder):
+            bit = ((jb >> k) & 1).astype(bool)
+            mv = jnp.matmul(v, m2p[g, k].T, precision=_PRECISION)
+            v = jnp.where(bit[:, None], mv, v)
+        acc = v
+        for k in range(n_terms, 0, -1):
+            acc = v + (rb / k)[:, None] * jnp.matmul(
+                acc, qn[g].T, precision=_PRECISION
+            )
+        return acc
+
+    for offset, child_storage, child_branch in data.ulevels:
+        w, karity = child_storage.shape
+        flat_s = child_storage.reshape(-1)
+        flat_b = child_branch.reshape(-1)
+        v = buf[flat_s]                                   # [F, S]
+        if mix_weights is not None:
+            wb = w_all[flat_b]                            # [F, G]
+            rb2 = r_all[flat_b]                           # [F, G]
+            jb2 = j_all[flat_b]
+            msg = wb[:, 0:1] * action(v, rb2[:, 0], jb2[:, 0], 0)
+            for g in range(1, n_groups):
+                msg = msg + wb[:, g : g + 1] * action(
+                    v, rb2[:, g], jb2[:, g], g
+                )
+        else:
+            jb = j_all[flat_b]                            # [F]
+            rb = r_all[flat_b]
+            gb = g_all[flat_b]
+            msg = action(v, rb, jb, 0)
+            for g in range(1, n_groups):
+                msg = jnp.where(
+                    (gb == g)[:, None], action(v, rb, jb, g), msg
+                )
+        msg = jnp.maximum(msg, 0.0)
+        prod = jnp.prod(msg.reshape(w, karity, states), axis=1)
+        mx = jnp.max(prod, axis=-1, keepdims=True)
+        mx = jnp.where(mx > 0, mx, 1.0)
+        prod = prod / mx
+        log_scale = log_scale + jnp.sum(jnp.log(mx))
+        buf = jax.lax.dynamic_update_slice(buf, prod, (offset, 0))
+
+    root_like = buf[n_nodes - 1] @ root_freqs.astype(dtype)
+    root_like = jnp.maximum(root_like, jnp.finfo(dtype).tiny)
+    return jnp.log(root_like) + log_scale
+
+
 def single_site_log_likelihood_spectral(
     left: jnp.ndarray,        # [S, S]  spectral factors of the shared Q
     lam: jnp.ndarray,         # [S]

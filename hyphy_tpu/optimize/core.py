@@ -72,6 +72,10 @@ def maximize(
         return maximize_jax(
             objective, specs, init, precision=precision,
             max_iterations=max_iterations,
+            # fp32 device likelihoods carry ~|lnL|*1e-6 evaluation noise;
+            # a convergence test below that floor never fires and the fit
+            # burns its full iteration budget
+            relative_floor=5e-7,
         )
     from scipy.optimize import minimize
     if max_iterations is None:
@@ -241,6 +245,7 @@ def maximize_jax(
     precision: float = 0.001,
     max_iterations: Optional[int] = None,
     memory_size: int = 15,
+    relative_floor: float = 0.0,
 ) -> Tuple[Params, jnp.ndarray, jnp.ndarray]:
     """Jittable/vmappable variant: optax L-BFGS on logit-remapped bounded
     parameters (the reference also remaps to unbounded space,
@@ -273,33 +278,74 @@ def maximize_jax(
         )
         u_new = optax.apply_updates(u, updates)
         improvement = prev_value - value
-        flat_count = jnp.where(improvement < precision, flat_count + 1, 0)
+        # ``relative_floor`` lifts the convergence threshold to the
+        # objective's evaluation-noise scale (fp32 device paths)
+        prec_eff = jnp.maximum(precision, relative_floor * jnp.abs(value))
+        flat_count = jnp.where(improvement < prec_eff, flat_count + 1, 0)
         gmax = jnp.max(
             jnp.asarray([jnp.max(jnp.abs(g)) for g in jax.tree_util.tree_leaves(grad)])
         )
         return u_new, state, value, it + 1, flat_count, gmax
 
-    def cond(carry):
+    def converged_of(carry):
         _, _, _, it, flat_count, gmax = carry
         converged = jnp.logical_and(flat_count >= patience, gmax <= grad_tol)
-        converged = jnp.logical_or(converged, flat_count >= hard_patience)
-        return jnp.logical_and(it < max_iterations, jnp.logical_not(converged))
+        return jnp.logical_or(converged, flat_count >= hard_patience)
 
-    def solve(u0):
-        state0 = solver.init(u0)
-        u, state, value, it, _, _ = jax.lax.while_loop(
-            cond,
-            step,
-            (u0, state0, jnp.asarray(jnp.inf, jnp.float64),
-             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-             jnp.asarray(jnp.inf, jnp.float64)),
-        )
-        # the last accepted point may be (slightly) worse than the best seen
-        # inside the line search; report the evaluated endpoint
-        return to_bounded(u, specs), loss(u), it
+    # The optimization runs device-side in CHUNKS of iterations: all state
+    # (parameters + L-BFGS memory) stays on the device between jit calls
+    # and only one convergence scalar is fetched per chunk.  A single
+    # unbounded while_loop would be marginally cheaper, but a multi-minute
+    # device call trips remote-accelerator worker watchdogs (observed: the
+    # TPU worker is killed mid-call on large gene fits), while a chunk is
+    # bounded to ~a minute.
+    chunk = int(__import__("os").environ.get("HYPHY_TPU_DEVICE_CHUNK", "64"))
+
+    @jax.jit
+    def run_chunk(carry, it_limit):
+        def cond(c):
+            return jnp.logical_and(
+                c[3] < it_limit, jnp.logical_not(converged_of(c))
+            )
+
+        out = jax.lax.while_loop(cond, step, carry)
+        return out, converged_of(out)
+
+    @jax.jit
+    def finish(carry):
+        u = carry[0]
+        # the last accepted point may be (slightly) worse than the best
+        # seen inside the line search; report the evaluated endpoint
+        return to_bounded(u, specs), loss(u), carry[3]
 
     u0 = to_unbounded(clip_to_bounds(init, specs), specs)
-    # one device program end-to-end: on a remote accelerator every eager op
-    # outside jit costs a host round-trip
-    final, final_value, it = jax.jit(solve)(u0)
+    carry = (
+        u0, solver.init(u0), jnp.asarray(jnp.inf, jnp.float64),
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        jnp.asarray(jnp.inf, jnp.float64),
+    )
+    if any(
+        isinstance(x, jax.core.Tracer)
+        for x in jax.tree_util.tree_leaves(init)
+    ):
+        # inside vmap/jit the host chunk loop cannot branch on `conv`:
+        # run the single data-dependent while_loop (the caller's trace
+        # context already owns device-call granularity)
+        def cond(c):
+            return jnp.logical_and(
+                c[3] < max_iterations, jnp.logical_not(converged_of(c))
+            )
+
+        carry = jax.lax.while_loop(cond, step, carry)
+        u = carry[0]
+        return to_bounded(u, specs), -loss(u), carry[3]
+
+    it_done = 0
+    while it_done < max_iterations:
+        it_limit = min(it_done + chunk, max_iterations)
+        carry, conv = run_chunk(carry, jnp.asarray(it_limit, jnp.int32))
+        it_done = it_limit
+        if bool(conv):
+            break
+    final, final_value, it = finish(carry)
     return final, -final_value, it

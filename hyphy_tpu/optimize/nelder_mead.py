@@ -91,59 +91,118 @@ def _batched_nelder_mead(
             it < max_iterations, jnp.any(spread(values) > tol)
         )
 
-    def body(carry):
-        simplex, values, it = carry
-        done = spread(values) <= tol                       # [N]
+    def make_body(fused: bool):
+        def body(carry):
+            simplex, values, it = carry
+            done = spread(values) <= tol                   # [N]
 
-        order = jnp.argsort(-values, axis=1)               # best first
-        simplex = jnp.take_along_axis(simplex, order[..., None], axis=1)
-        values = jnp.take_along_axis(values, order, axis=1)
-        best = simplex[:, 0]                               # [N, n]
-        worst = simplex[:, -1]
-        centroid = jnp.mean(simplex[:, :-1], axis=1)
+            order = jnp.argsort(-values, axis=1)           # best first
+            simplex = jnp.take_along_axis(simplex, order[..., None], axis=1)
+            values = jnp.take_along_axis(values, order, axis=1)
+            best = simplex[:, 0]                           # [N, n]
+            worst = simplex[:, -1]
+            centroid = jnp.mean(simplex[:, :-1], axis=1)
 
-        reflected = centroid + (centroid - worst)
-        f_r = f_batch(reflected)
-        # adaptive second probe per item: expansion when the reflection
-        # leads, outside-contraction otherwise — one batched evaluation
-        # covers both branches of the classic decision tree
-        want_expand = f_r > values[:, 0]
-        second = jnp.where(
-            want_expand[:, None],
-            centroid + 2.0 * (centroid - worst),
-            centroid - 0.5 * (centroid - worst),
-        )
-        f_2 = f_batch(second)
-        fallback = best + 0.5 * (worst - best)             # rank-1 shrink
-        f_s = f_batch(fallback)
+            reflected = centroid + (centroid - worst)
+            expanded = centroid + 2.0 * (centroid - worst)
+            contracted = centroid - 0.5 * (centroid - worst)
+            fallback = best + 0.5 * (worst - best)         # rank-1 shrink
+            if fused:
+                # latency-bound backends: all four probes in ONE stacked
+                # batched call (4 evals / 1 dispatch)
+                nl = reflected.shape[0]
+                f_all = f_batch(jnp.concatenate(
+                    [reflected, expanded, contracted, fallback]
+                ))
+                f_r = f_all[:nl]
+                f_e_raw = f_all[nl : 2 * nl]
+                f_c_raw = f_all[2 * nl : 3 * nl]
+                f_s = f_all[3 * nl :]
+                want_expand = f_r > values[:, 0]
+                f_2 = jnp.where(want_expand, f_e_raw, f_c_raw)
+            else:
+                # compute-bound backends: reflect, then ONE adaptive second
+                # probe (expansion when the reflection leads, else outside
+                # contraction), then the fallback — 3 evals / 3 dispatches
+                f_r = f_batch(reflected)
+                want_expand = f_r > values[:, 0]
+                f_2 = f_batch(jnp.where(
+                    want_expand[:, None], expanded, contracted
+                ))
+                f_s = f_batch(fallback)
+            second = jnp.where(want_expand[:, None], expanded, contracted)
 
-        f_e = jnp.where(want_expand, f_2, -jnp.inf)
-        f_c = jnp.where(want_expand, -jnp.inf, f_2)
-        use_expand = jnp.logical_and(want_expand, f_e > f_r)
-        use_reflect = jnp.logical_and(f_r > values[:, -2], ~use_expand)
-        use_contract = jnp.logical_and(
-            ~use_expand, jnp.logical_and(~use_reflect, f_c > values[:, -1])
-        )
-        new_point = jnp.where(
-            use_expand[:, None], second,
-            jnp.where(use_reflect[:, None], reflected,
-                      jnp.where(use_contract[:, None], second, fallback)),
-        )
-        new_value = jnp.where(
-            use_expand, f_2,
-            jnp.where(use_reflect, f_r, jnp.where(use_contract, f_2, f_s)),
-        )
-        new_simplex = simplex.at[:, -1].set(new_point)
-        new_values = values.at[:, -1].set(new_value)
+            f_e = jnp.where(want_expand, f_2, -jnp.inf)
+            f_c = jnp.where(want_expand, -jnp.inf, f_2)
+            use_expand = jnp.logical_and(want_expand, f_e > f_r)
+            use_reflect = jnp.logical_and(f_r > values[:, -2], ~use_expand)
+            use_contract = jnp.logical_and(
+                ~use_expand, jnp.logical_and(~use_reflect, f_c > values[:, -1])
+            )
+            new_point = jnp.where(
+                use_expand[:, None], second,
+                jnp.where(use_reflect[:, None], reflected,
+                          jnp.where(use_contract[:, None], second, fallback)),
+            )
+            new_value = jnp.where(
+                use_expand, f_2,
+                jnp.where(use_reflect, f_r, jnp.where(use_contract, f_2, f_s)),
+            )
+            new_simplex = simplex.at[:, -1].set(new_point)
+            new_values = values.at[:, -1].set(new_value)
 
-        # freeze converged rows so finished sites stay bit-stable
-        simplex = jnp.where(done[:, None, None], simplex, new_simplex)
-        values = jnp.where(done[:, None], values, new_values)
-        return simplex, values, it + 1
+            # freeze converged rows so finished sites stay bit-stable
+            simplex = jnp.where(done[:, None, None], simplex, new_simplex)
+            values = jnp.where(done[:, None], values, new_values)
+            return simplex, values, it + 1
 
-    simplex, values, _ = jax.lax.while_loop(
-        cond, body, (simplex, values, jnp.zeros((), jnp.int32))
+        return body
+
+    # fusing the probes into one 4N-item call saves dispatches but
+    # QUADRUPLES the peak activation footprint (per-site codon objectives
+    # materialize [items, branches, 61, 61] propagators — 4x on a 16G-HBM
+    # chip OOMs at ~300 sites x 200 branches); sequential probes are the
+    # safe default, HYPHY_TPU_NM_FUSED=1 opts in for small problems
+    import os as _os
+
+    body = make_body(
+        fused=jax.default_backend() != "cpu"
+        and _os.environ.get("HYPHY_TPU_NM_FUSED") == "1"
     )
+
+    traced = any(
+        isinstance(x, jax.core.Tracer) for x in (u0, simplex, values)
+    )
+    if traced:
+        simplex, values, _ = jax.lax.while_loop(
+            cond, body, (simplex, values, jnp.zeros((), jnp.int32))
+        )
+    else:
+        # concrete inputs: advance in bounded chunks of iterations, one jit
+        # call each, with the batch state living on the device between
+        # calls.  Remote-accelerator workers kill device calls that run for
+        # minutes (observed on big site batches); a chunk stays ~seconds.
+        import os as _os
+
+        chunk = int(_os.environ.get("HYPHY_TPU_NM_CHUNK", "32"))
+
+        @jax.jit
+        def run_chunk(carry, it_limit):
+            def chunk_cond(c):
+                return jnp.logical_and(c[2] < it_limit, cond(c))
+
+            out = jax.lax.while_loop(chunk_cond, body, carry)
+            return out, cond(out)
+
+        carry = (simplex, values, jnp.zeros((), jnp.int32))
+        it_done = 0
+        while it_done < max_iterations:
+            it_limit = min(it_done + chunk, max_iterations)
+            carry, more = run_chunk(carry, jnp.asarray(it_limit, jnp.int32))
+            it_done = it_limit
+            if not bool(more):
+                break
+        simplex, values, _ = carry
     best_idx = jnp.argmax(values, axis=1)                  # [N]
     u_best = jnp.take_along_axis(
         simplex, best_idx[:, None, None], axis=1
@@ -200,11 +259,16 @@ def vmapped_nelder_mead(
     to_vec, to_dict, n = _pack(specs)
 
     def f_batch(u_mat: jnp.ndarray) -> jnp.ndarray:
+        # accepts [m*N, n] — candidate points stacked over the item batch
+        # (the NM body fuses its three probes into one batched call)
+        m = u_mat.shape[0] // idx.shape[0]
+        idx_m = jnp.tile(idx, m) if m > 1 else idx
+
         def f_one(i, u_vec):
             v = objective(i, to_bounded(to_dict(u_vec), specs))
             return jnp.where(jnp.isfinite(v), v, -jnp.inf)
 
-        return jax.vmap(f_one)(idx, u_mat)
+        return jax.vmap(f_one)(idx_m, u_mat)
 
     def init_vec(i):
         one = {

@@ -57,5 +57,12 @@ def sharded_site_solve(
     idx_dev = jax.device_put(jnp.asarray(idx), sharding)
     init_dev = {k: jax.device_put(jnp.asarray(v), sharding) for k, v in padded.items()}
 
-    out = jax.jit(solver)(idx_dev, init_dev)
+    if jax.default_backend() == "cpu":
+        out = jax.jit(solver)(idx_dev, init_dev)
+    else:
+        # accelerator: run the solver's stages as separate device calls so
+        # long batched optimizations can chunk themselves (a single fused
+        # multi-minute call trips remote-worker watchdogs); the stages are
+        # jitted individually inside
+        out = solver(idx_dev, init_dev)
     return jax.tree_util.tree_map(lambda a: np.asarray(a)[:n_items], out)

@@ -23,6 +23,68 @@ def random_tree_newick(n_taxa: int, seed: int = 0, mean_branch: float = 0.05) ->
     return f"({a}:{lengths[a]:.6f},{b}:{lengths[b]:.6f})"
 
 
+def simulated_codon_alignment(
+    n_taxa: int,
+    n_codons: int,
+    seed: int = 0,
+    mean_branch: float = 0.05,
+    kappa: float = 2.5,
+    omega: float = 0.3,
+):
+    """(Alignment, newick): codons simulated ALONG a random tree under an
+    MG94-style process (kappa transition bias, omega on nonsynonymous
+    steps), so distances are finite and both this framework and the
+    reference binary fit the data comfortably — iid-random sequences
+    saturate a 1000-taxon tree past the reference's numeric limits.
+    """
+    import scipy.linalg as sla
+
+    from hyphy_tpu.data.genetic_code import NUCLEOTIDES
+    from hyphy_tpu.tree.topology import Tree
+    from hyphy_tpu.utils.simulate import simulate_states
+
+    rng = np.random.default_rng(seed)
+    gc = GeneticCode("Universal")
+    sense = gc.sense_codons
+    s = len(sense)
+    trans = gc.translation
+    q = np.zeros((s, s))
+    for a in range(s):
+        ca = int(sense[a])
+        na = (ca // 16, (ca // 4) % 4, ca % 4)
+        for b in range(s):
+            if a == b:
+                continue
+            cb = int(sense[b])
+            nb = (cb // 16, (cb // 4) % 4, cb % 4)
+            diff = [p for p in range(3) if na[p] != nb[p]]
+            if len(diff) != 1:
+                continue
+            x, y = na[diff[0]], nb[diff[0]]
+            is_transition = {x, y} in ({0, 2}, {1, 3})  # A<->G, C<->T
+            rate = kappa if is_transition else 1.0
+            if trans[ca] != trans[cb]:
+                rate *= omega
+            q[a, b] = rate
+    pi = np.full(s, 1.0 / s)
+    q /= -(pi @ np.diag(q - np.diag(q.sum(axis=1)))).sum() or 1.0
+    q = q / (pi @ q.sum(axis=1))          # unit expected rate
+    np.fill_diagonal(q, 0.0)
+    q -= np.diag(q.sum(axis=1))
+
+    newick = random_tree_newick(n_taxa, seed=seed, mean_branch=mean_branch)
+    tree = Tree.from_newick(newick)
+    lengths = np.maximum(np.asarray(tree.input_lengths[:-1]), 1e-6)
+    p = np.stack([sla.expm(q * t) for t in lengths])
+    states = simulate_states(tree, p, pi, n_codons, rng)
+    names = list(tree.names[: tree.n_leaves])
+    seqs = [
+        "".join(codon_string(int(sense[st])) for st in states[i])
+        for i in range(tree.n_leaves)
+    ]
+    return Alignment(names, seqs), newick
+
+
 def synthetic_codon_alignment(
     n_taxa: int, n_codons: int, seed: int = 0, mutation_rate: float = 0.15
 ) -> Alignment:
