@@ -32,31 +32,6 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
-# Persistent XLA compilation cache: analysis pipelines build fresh jitted
-# closures per run, so the in-memory jit cache never hits across runs; the
-# disk cache keys on HLO content and makes warm runs skip compilation
-# entirely (essential on remote accelerators where one 61-state codon
-# program compiles for ~30s).
-_cache_dir = os.environ.get(
-    "HYPHY_TPU_XLA_CACHE",
-    os.path.join(os.path.expanduser("~"), ".cache", "hyphy_tpu", "xla"),
-)
-try:
-    _backend_is_cpu = jax.default_backend() == "cpu"
-except Exception:
-    _backend_is_cpu = True
-# accelerator backends only: CPU compiles are cheap, and XLA:CPU AOT cache
-# entries embed host-feature sets that can mismatch across processes
-# (risking SIGILL on load)
-if _cache_dir and _cache_dir != "0" and not _backend_is_cpu:
-    try:
-        os.makedirs(_cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:  # cache is an optimization, never a requirement
-        pass
-
 # Some environments force a platform via jax.config at interpreter start
 # (overriding JAX_PLATFORMS); HYPHY_TPU_PLATFORM re-overrides for tests and
 # CPU parity runs: e.g. HYPHY_TPU_PLATFORM=cpu.
@@ -64,24 +39,30 @@ _platform = os.environ.get("HYPHY_TPU_PLATFORM")
 if _platform:
     jax.config.update("jax_platforms", _platform)
 
-# Persistent XLA compilation cache: analyses recompile the same likelihood
-# programs on every invocation; caching makes repeat runs compile-free
-# (whole-gene fits and the bench benefit most; per-site fit stages are
-# compute-dominated).
-# Auto-enabled for accelerator backends; on the CPU backend XLA's AOT
-# loader can resurrect executables with mismatched machine features
-# (risking SIGILL), so CPU runs only cache when HYPHY_TPU_COMPILE_CACHE
-# is set explicitly.  Disable entirely with HYPHY_TPU_COMPILE_CACHE=0.
-_cache = os.environ.get("HYPHY_TPU_COMPILE_CACHE")
-if _cache is None and _platform and _platform != "cpu":
-    _cache = os.path.join(os.path.expanduser("~"), ".cache", "hyphy_tpu", "xla")
-if _cache and _cache != "0":
+# Persistent XLA compilation cache: analysis pipelines build fresh jitted
+# closures per run, so the in-memory jit cache never hits across runs; the
+# disk cache keys on HLO content and makes warm runs skip compilation
+# (essential on remote accelerators where one 61-state codon program
+# compiles for ~30s).  Accelerator platforms only: XLA:CPU's AOT loader
+# can resurrect executables with mismatched machine-feature strings
+# (SIGILL risk) and CPU compiles are cheap anyway.  The effective platform
+# is decided WITHOUT initializing a backend (jax.default_backend() here
+# would lock the platform before the override above could matter).
+_effective = (_platform or str(
+    getattr(jax.config, "jax_platforms", None) or ""
+)).split(",")[0]
+_on_accelerator = _effective not in ("cpu",) and _effective != "None"
+_cache_dir = os.environ.get(
+    "HYPHY_TPU_XLA_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "hyphy_tpu", "xla"),
+)
+if _cache_dir and _cache_dir != "0" and _on_accelerator and _effective:
     try:
-        os.makedirs(_cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 1000)
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:  # pragma: no cover — cache is best-effort
+    except Exception:  # cache is an optimization, never a requirement
         pass
 
 __version__ = "0.1.0"
