@@ -1,6 +1,7 @@
 """hyphy_tpu — a TPU-native phylogenetic likelihood framework.
 
-A brand-new JAX/XLA/Pallas implementation of the capabilities of HyPhy
+A brand-new JAX/XLA implementation (with an opt-in Pallas pruning
+kernel, ``ops/pallas_pruning.py``) of the capabilities of HyPhy
 (veg/hyphy): maximum-likelihood fitting of nucleotide / amino-acid / codon
 substitution models on phylogenetic trees, and the standard selection
 analyses built on top (FEL, SLAC, MEME, FUBAR, BUSTED, RELAX, aBSREL, ...).

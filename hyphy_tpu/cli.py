@@ -115,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--site-threshold", dest="site_threshold", type=float, default=0.4,
                    help="mask the entire site if more than this fraction of sequences is flagged")
 
+    p = sub.add_parser("clade-support", help="Effective Clade Breadth from a BUSTED-PH result")
+    p.add_argument("--json", required=True, help="BUSTED-PH result JSON")
+    p.add_argument("--output", default=None, help="output JSON path")
+
     p = sub.add_parser("relax", help="Relaxation of selection test")
     common_args(p)
     p.add_argument("--test", default=None)
@@ -264,6 +268,12 @@ def main(argv=None) -> int:
                          site_threshold=args.site_threshold)
         print(f"Masked {result.total_masked} site x sequence cells; "
               f"filtered MSA written to {args.output}")
+        return 0
+    elif method == "clade-support":
+        from hyphy_tpu.methods import clade_support as mod
+        out = args.output or (args.json + ".ECB.json")
+        result = mod.run(args.json, output_json=out)
+        print(f"ECB written to {out}: perplexity {result.perplexity}")
         return 0
     elif method == "relax":
         from hyphy_tpu.methods import relax as mod

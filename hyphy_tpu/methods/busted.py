@@ -121,6 +121,7 @@ def run(
     error_sink: bool = False,
     error_sink_bound: float = 100.0,
     error_sink_weight: float = 0.01,
+    branch_site_posteriors: bool = False,
 ) -> BUSTEDResult:
     """``save_fit``: path for a full-model snapshot — written after the
     unconstrained fit and reused (skipping that fit) on reruns against the
@@ -381,7 +382,7 @@ def run(
     #    reference BUSTED.bf:1040-1140 + error-filter.bf)
     branch_attr = None
     substitutions = None
-    if error_sink and not (srv_hmm or srv_branchsite):
+    if (error_sink or branch_site_posteriors) and not (srv_hmm or srv_branchsite):
         common.progress("busted", "branch-site class posteriors + ancestors")
         omegas_a, weights_a, rates_a, wsrv_a = unpack(alt_params)
         tested_ids = np.nonzero(data.tested_branches)[0]
@@ -399,10 +400,14 @@ def run(
         lp -= lp.max(axis=1, keepdims=True)
         branch_post = np.exp(lp) / np.exp(lp).sum(axis=1, keepdims=True)
         branch_attr = {"0": {}}
+        bl = np.asarray(mg.branch_lengths)
         for row, b in enumerate(tested_ids):
             branch_attr["0"][data.tree.names[b]] = {
                 "Posterior prob omega class": [[float(x)] for x in branch_post[row]],
                 "Posterior prob omega class by site": post[row].tolist(),
+                # per-branch length under the MG94 fit (clade_support reads
+                # this key for its annotated tree, clade_support.bf:74)
+                "MG94xREV with separate rates for branch sets": float(bl[b]),
             }
         # joint ancestral substitution map under the class-mixed propagators
         from hyphy_tpu.data.genetic_code import codon_string

@@ -69,6 +69,9 @@ def run(
         srv=srv, rate_classes=rate_classes, srv_classes=srv_classes,
         starting_points=starting_points, precision=precision, seed=seed,
         multiple_hits=multiple_hits, error_sink=error_sink,
+        # per-branch per-site class posteriors feed the downstream
+        # clade_support (Effective Clade Breadth) analysis
+        branch_site_posteriors=True,
     )
     ctx = res.context
     if not ctx["has_background"]:

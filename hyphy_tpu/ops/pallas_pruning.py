@@ -1,0 +1,86 @@
+"""Pallas TPU kernel for the pruning level step.
+
+One level of Felsenstein pruning computes, for every internal node of the
+level and every site pattern, the product of the children's transition-
+weighted messages:
+
+    prod[w, p, :] = PROD_k ( P[w,k] @ clv[w,k,p,:] )     (k = children)
+
+XLA materializes the per-child messages ([W*K, patterns, S]) in HBM
+between the batched matmul and the sibling product; this kernel keeps the
+messages in VMEM and writes only the product — the level step is
+HBM-bound, so skipping the round trip of the largest intermediate pays
+directly.  (Renormalization + log-scale stay in XLA: this Mosaic build
+fails to legalize multi-output pallas_call, and those elementwise ops
+fuse into the next level's gather anyway.)
+
+Used by ``ops.pruning`` for fp32 accelerator runs; every other case falls
+back to the einsum path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_TILE_P = 512
+
+
+def _level_kernel(cc_ref, cp_ref, out_ref, *, arity):
+    # cc_ref: [1, K, Tp, S]; cp_ref: [1, K, S, S]
+    acc = None
+    for k in range(arity):
+        m = jax.lax.dot_general(
+            cc_ref[0, k], cp_ref[0, k],
+            (((1,), (1,)), ((), ())),          # m[p,i] = sum_j cc[p,j] P[i,j]
+            preferred_element_type=jnp.float32,
+        )
+        acc = m if acc is None else acc * m
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("arity",))
+def level_products(cc: jnp.ndarray, cp: jnp.ndarray, arity: int):
+    """[W, patterns, S] sibling-product messages for one level.
+
+    ``cc``: [W, K, patterns, S] gathered child CLVs; ``cp``: [W, K, S, S]
+    child transition matrices, both fp32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    w, k, patterns, s = cc.shape
+    tile = min(_TILE_P, patterns)
+    n_tiles = (patterns + tile - 1) // tile
+    pad = n_tiles * tile - patterns
+    if pad:
+        cc = jnp.pad(cc, ((0, 0), (0, 0), (0, pad), (0, 0)),
+                     constant_values=1.0)
+    out = pl.pallas_call(
+        functools.partial(_level_kernel, arity=k),
+        grid=(w, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, k, tile, s), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, s, s), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, s), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w, n_tiles * tile, s), jnp.float32),
+    )(cc, cp)
+    if pad:
+        out = out[:, :patterns]
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def available() -> bool:
+    try:
+        import jax.experimental.pallas  # noqa: F401
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

@@ -176,8 +176,32 @@ def _site_log_likelihoods_unrolled(
     # fp64 log-scale accumulator (see site_log_likelihoods)
     log_scale = jnp.zeros((patterns,), dtype=jnp.float64)
 
+    use_pallas = False
+    if dtype == jnp.float32 and __import__("os").environ.get(
+        "HYPHY_TPU_PALLAS"
+    ) == "1":
+        # opt-in fused level kernel (forward-only: no custom VJP yet —
+        # gradient-taking callers keep the einsum path)
+        from hyphy_tpu.ops import pallas_pruning
+
+        use_pallas = pallas_pruning.available()
+
     for offset, child_storage, child_branch in data.ulevels:
         w, k = child_storage.shape
+        if use_pallas:
+            from hyphy_tpu.ops import pallas_pruning
+
+            cc4 = buf[child_storage]                   # [W, K, patterns, S]
+            cp4 = p_all[child_branch]                  # [W, K, S, S]
+            prod = pallas_pruning.level_products(cc4, cp4, k)
+            mx = jnp.max(prod, axis=-1, keepdims=True)
+            mx = jnp.where(mx > 0, mx, 1.0)
+            prod = prod / mx
+            log_scale = log_scale + jnp.sum(
+                jnp.log(mx[..., 0]), axis=0
+            ).astype(jnp.float64)
+            buf = jax.lax.dynamic_update_slice(buf, prod, (offset, 0, 0))
+            continue
         cc = buf[child_storage.reshape(-1)]            # [W*K, patterns, S]
         cp = p_all[child_branch.reshape(-1)]           # [W*K, S, S]
         contrib = jnp.einsum(

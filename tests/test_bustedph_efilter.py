@@ -105,3 +105,21 @@ def test_bustedph_and_error_filter():
     for key in ("FG", "BG", "Comparative"):
         assert 0.0 <= pv[key] <= 1.0
     assert "Summary" in ph
+
+
+@pytest.mark.slow
+def test_clade_support_from_bustedph():
+    from hyphy_tpu.methods import bustedph, clade_support
+
+    d, fa, tr = _fixture()
+    r = bustedph.run(fa, tree=tr, branches="Foreground", srv=False,
+                     starting_points=2, precision=1e-3)
+    jp = os.path.join(d, "ph.json")
+    with open(jp, "w") as fh:
+        json.dump(r.json, fh)
+    cs = clade_support.run(jp, output_json=os.path.join(d, "ecb.json"))
+    assert "0" in cs.perplexity
+    part = cs.json["0"]
+    assert part["perplexity"] >= 1.0 - 1e-9
+    w = sum(part["weights"].values())
+    assert abs(w - 1.0) < 1e-9 or len(part["weights"]) == 0
