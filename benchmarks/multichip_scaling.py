@@ -41,7 +41,20 @@ def main():
     n_taxa = 100
     n_patterns_total = 256
     widths = [w for w in (1, 2, 4, 8) if w <= len(jax.devices())]
-    out = {"taxa": n_taxa, "patterns": n_patterns_total, "widths": {}}
+    virtual = jax.devices()[0].platform == "cpu"
+    out = {
+        "taxa": n_taxa,
+        "patterns": n_patterns_total,
+        "note": (
+            "8 VIRTUAL devices share this host's physical cores, so "
+            "'speedup' here measures PARTITIONING OVERHEAD (1.0 = the "
+            "sharded SPMD program retains full throughput while split "
+            "8-ways), not multi-chip scaling — real scaling needs real "
+            "chips; correctness is asserted (identical lnL at every "
+            "width)."
+        ) if virtual else "real devices: speedup = multi-chip scaling",
+        "widths": {},
+    }
 
     ref_lnl = None
     base_rate = None

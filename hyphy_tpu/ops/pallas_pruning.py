@@ -6,16 +6,23 @@ weighted messages:
 
     prod[w, p, :] = PROD_k ( P[w,k] @ clv[w,k,p,:] )     (k = children)
 
-XLA materializes the per-child messages ([W*K, patterns, S]) in HBM
-between the batched matmul and the sibling product; this kernel keeps the
-messages in VMEM and writes only the product — the level step is
-HBM-bound, so skipping the round trip of the largest intermediate pays
-directly.  (Renormalization + log-scale stay in XLA: this Mosaic build
-fails to legalize multi-output pallas_call, and those elementwise ops
-fuse into the next level's gather anyway.)
+The kernel keeps the per-child messages in VMEM and writes only the
+sibling product (renormalization + log-scale stay in XLA: this Mosaic
+build fails to legalize multi-output pallas_call).
 
-Used by ``ops.pruning`` for fp32 accelerator runs; every other case falls
-back to the einsum path.
+MEASURED RESULT (v5e, 1000 taxa x 2048 patterns, bench.py): the kernel is
+numerically exact (same |delta lnL| as the einsum path) but ~1.7x SLOWER
+than XLA's pipeline — 82k vs 139k site-evals/s.  XLA batches every
+node's [patterns,61]x[61,61] contraction into large GEMMs, while this
+grid serializes per (node, pattern-tile); the HBM saving on the message
+intermediate does not make up for the lost MXU batching.  It therefore
+stays OPT-IN (``HYPHY_TPU_PALLAS=1``) as working Pallas infrastructure +
+an honest negative perf result, not a default.
+
+Two Mosaic lowering gotchas encoded here: (a) multi-output pallas_call
+and (b) tracing under ``jax_enable_x64`` both die with "failed to
+legalize operation 'func.return'" — the kernel traces under
+``jax.enable_x64(False)`` and returns a single output.
 """
 
 from __future__ import annotations
@@ -36,6 +43,7 @@ def _level_kernel(cc_ref, cp_ref, out_ref, *, arity):
             cc_ref[0, k], cp_ref[0, k],
             (((1,), (1,)), ((), ())),          # m[p,i] = sum_j cc[p,j] P[i,j]
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         acc = m if acc is None else acc * m
     out_ref[0] = acc
@@ -58,6 +66,17 @@ def level_products(cc: jnp.ndarray, cp: jnp.ndarray, arity: int):
     if pad:
         cc = jnp.pad(cc, ((0, 0), (0, 0), (0, pad), (0, 0)),
                      constant_values=1.0)
+    # the framework runs with jax_enable_x64 globally (fp64 parity path);
+    # Mosaic cannot legalize the 64-bit index types that leak into the
+    # kernel under x64, so trace the pallas_call with x64 scoped off
+    with jax.enable_x64(False):
+        return _call(cc, cp, w, k, tile, n_tiles, s, pad, patterns)
+
+
+def _call(cc, cp, w, k, tile, n_tiles, s, pad, patterns):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     out = pl.pallas_call(
         functools.partial(_level_kernel, arity=k),
         grid=(w, n_tiles),
