@@ -82,14 +82,20 @@ class BSRELEngine:
         one-step MG94 bases — the BUSTED --multiple-hits options add
         delta/psi-scaled 2/3-hit entries (``BUSTED.bf:329-352`` via
         ``MG_REV_MH._GenerateRate_generic``)."""
+        from hyphy_tpu.config import settings
+
         self.model = mg94
         self.pdata = pdata
-        self.leaf_partials = leaf_partials
+        # compute dtype: fp64 on CPU (parity), fp32 on accelerators — the
+        # CLV tensors and generators follow it; the pattern-weighted
+        # reduction stays fp64 (likelihood.py semantics)
+        self.dtype = settings.likelihood_dtype()
+        self.leaf_partials = jnp.asarray(leaf_partials, self.dtype)
         self.pattern_weights = jnp.asarray(pattern_weights)
         self.group_of_branch = jnp.asarray(group_of_branch.astype(np.int32))
         self.n_groups = int(group_of_branch.max()) + 1
         self.srv_classes = srv_classes
-        self.freqs = mg94.frequencies
+        self.freqs = mg94.frequencies.astype(self.dtype)
         self.basis_fn = basis_fn or mg94.basis_matrices
 
     def _family_generators(self, params, omegas):
@@ -100,18 +106,29 @@ class BSRELEngine:
         q_syn, q_non = self.basis_fn(params)
         if q_syn.ndim == 3:                                     # per-group
             m = q_syn[:, None] + omegas[:, :, None, None] * q_non[:, None]
-            return fill_diagonal_from_rows(m.reshape(g * k, *m.shape[2:]))
-        return fill_diagonal_from_rows(
-            q_syn[None] + omegas.reshape(g * k)[:, None, None] * q_non[None]
-        )
+            m = fill_diagonal_from_rows(m.reshape(g * k, *m.shape[2:]))
+        else:
+            m = fill_diagonal_from_rows(
+                q_syn[None] + omegas.reshape(g * k)[:, None, None] * q_non[None]
+            )
+        return m.astype(self.dtype)
 
     def mixture_propagators(self, params, omegas, weights, times):
         """P_mix [C, B, S, S] for srv-scaled times.
 
         omegas/weights: [G, K]; times: [C, B] (srv rate x branch time).
+
+        fp64 (CPU parity): one eigendecomposition per mixture family with
+        shared-factor matmuls.  fp32 (accelerators): shared-power Taylor
+        per family — the fp32 ``eigh`` loses ~1e-2 absolute on 61-state
+        generators (see ops/expm.py).
         """
         g, k = omegas.shape
         m = self._family_generators(params, omegas)             # [G*K, S, S]
+        if m.dtype != jnp.float64:
+            return self._mixture_propagators_taylor(
+                m, g, k, weights, times
+            )
         left, lam, right = expm_ops.reversible_spectral(m, self.freqs)
         s = m.shape[-1]
         left = left.reshape(g, k, s, s)[self.group_of_branch]    # [B,K,S,S]
@@ -123,6 +140,25 @@ class BSRELEngine:
         el = jnp.exp(lam_b[None] * times[:, :, None, None])
         el = el * w_b[None, :, :, None]
         p_mix = jnp.einsum("bkij,cbkj,bkjl->cbil", left, el, right)
+        p_mix = jnp.maximum(p_mix, 0.0)
+        return expm_ops.row_renormalize(p_mix)
+
+    def _mixture_propagators_taylor(self, m, g, k, weights, times):
+        """fp32 path: P_f(t) per family via shared-power Taylor, then the
+        class-weighted mix — no eigh on device."""
+        c, b = times.shape
+        flat_t = times.reshape(-1).astype(m.dtype)              # [C*B]
+
+        def family(mf):
+            return expm_ops.shared_taylor_propagators(mf, flat_t)
+
+        p_f = jax.vmap(family)(m)                               # [G*K, C*B, S, S]
+        s = m.shape[-1]
+        p_f = p_f.reshape(g, k, c, b, s, s)
+        gb = self.group_of_branch                               # [B]
+        p_sel = p_f[gb, :, :, jnp.arange(b)]                    # [B, K, C, S, S]
+        w_b = weights[gb]                                       # [B, K]
+        p_mix = jnp.einsum("bkcij,bk->cbij", p_sel, w_b)
         p_mix = jnp.maximum(p_mix, 0.0)
         return expm_ops.row_renormalize(p_mix)
 
@@ -193,7 +229,9 @@ class BSRELEngine:
         sll = self.site_log_likelihoods(
             params, omegas, weights, t_b, srv_rates, srv_weights
         )
-        return jnp.dot(sll, self.pattern_weights)
+        return jnp.dot(
+            sll.astype(self.pattern_weights.dtype), self.pattern_weights
+        )
 
     def branch_class_site_logliks(
         self, params, omegas, weights, t_b, srv_rates, srv_weights,

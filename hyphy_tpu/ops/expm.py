@@ -107,9 +107,12 @@ def shared_taylor_propagators(
         # (fp32: 2^17/17! ~ 4e-10 — comfortably past fp32 round-off)
         terms = 28 if dtype == jnp.float64 else 16
     if max_squarings is None:
-        # ladder/bit depth: supports ||Q t|| up to ~2^(s+1); the saturation
-        # clamp below absorbs line-search probes beyond it
-        max_squarings = 8 if dtype == jnp.float64 else 5
+        # ladder/bit depth: supports ||Q t|| up to ~2^(s+1) before the
+        # saturation clamp below.  Depth 11 covers ||Q t|| ~ 4096 — an
+        # omega at its 1e4 bound times realistic branch lengths still
+        # resolves (a shallower ladder clamped such mixtures ~19 lnL off
+        # their spectral value); each extra level costs one SxS matmul.
+        max_squarings = 11
     s_dim = q.shape[-1]
     # normalize the generator to unit inf-norm; fold the factor into t
     norm = jnp.maximum(jnp.max(jnp.sum(jnp.abs(q), axis=-1)), 1e-30)
@@ -196,7 +199,7 @@ def taylor_action_factors(
     if terms is None:
         terms = 28 if dtype == jnp.float64 else 16
     if max_squarings is None:
-        max_squarings = 8 if dtype == jnp.float64 else 5
+        max_squarings = 11  # see shared_taylor_propagators
     s_dim = q.shape[-1]
     norm = jnp.maximum(jnp.max(jnp.sum(jnp.abs(q), axis=-1)), 1e-30)
     m = jnp.ceil(jnp.log2(norm))

@@ -38,10 +38,12 @@ def pytest_configure(config):
 
 
 # Modules whose tests are CD2/golden parity fixtures taking minutes each.
-# The default tier (fast, < 5 min) covers every method on small synthetic
-# fixtures (test_fast_methods.py) plus all engine/data/aux units; the full
-# golden tier runs with HYPHY_TPU_RUN_SLOW=1 (reference test strategy:
-# golden-value integration tests, SURVEY.md section 4).
+# The default tier covers every method on small synthetic fixtures
+# (test_fast_methods.py) plus all engine/data/aux units — ~5 minutes on a
+# typical multi-core host, up to ~12 on a 2-vCPU VM (the method pipelines
+# are XLA-compile-bound there); the full golden tier runs with
+# HYPHY_TPU_RUN_SLOW=1 (reference test strategy: golden-value integration
+# tests, SURVEY.md section 4).
 SLOW_MODULES = {
     "test_fel", "test_meme", "test_busted", "test_relax", "test_absrel",
     "test_fubar", "test_slac", "test_prime", "test_bgm",

@@ -97,7 +97,10 @@ class TestGeneMethodsFast:
     def test_absrel(self, tiny):
         from hyphy_tpu.methods import absrel
 
-        r = absrel.run(tiny["fasta"], tree=tiny["tree"])
+        # coarse precision: this tier asserts structure, not optima —
+        # the aBSREL step-up at default precision was the default tier's
+        # single largest cost (VERDICT r3)
+        r = absrel.run(tiny["fasta"], tree=tiny["tree"], precision=1e-2)
         assert np.isfinite(r.full_lnl)
         assert r.json["test results"]["tested"] >= 1
 
@@ -113,7 +116,7 @@ class TestGeneMethodsFast:
     def test_fmm(self, tiny):
         from hyphy_tpu.methods import fmm
 
-        r = fmm.run(tiny["fasta"], tree=tiny["tree"], precision=1e-3)
+        r = fmm.run(tiny["fasta"], tree=tiny["tree"], precision=1e-2)
         fits = r.json["fits"]
         assert any("riple" in k or "ouble" in k for k in fits)
 
@@ -130,5 +133,5 @@ class TestOtherDataTypesFast:
     def test_prime(self, tiny):
         from hyphy_tpu.methods import prime
 
-        r = prime.run(tiny["fasta"], tree=tiny["tree"])
+        r = prime.run(tiny["fasta"], tree=tiny["tree"], precision=1e-2)
         assert np.isfinite(r.site_table).all()
