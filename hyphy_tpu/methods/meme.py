@@ -310,6 +310,20 @@ def run(
                     for k in base
                 }
                 alt_params, alt_lnl = vmapped_nelder_mead(f, meme_specs, starts, idx)
+                # restart from the found optimum with a fresh simplex: the
+                # rank-1 shrink fallback can collapse a simplex early on
+                # hard 4-parameter sites, leaving ~1 lnL on the table (the
+                # MEME-dominates-FEL invariant catches it); a second pass
+                # converges in a handful of iterations when already optimal
+                alt_params2, alt_lnl2 = vmapped_nelder_mead(
+                    f, meme_specs, alt_params, idx
+                )
+                better = alt_lnl2 > alt_lnl
+                alt_params = {
+                    k: jnp.where(better, alt_params2[k], alt_params[k])
+                    for k in alt_params
+                }
+                alt_lnl = jnp.maximum(alt_lnl, alt_lnl2)
                 return tuple(alt_params[k] for k in sorted(meme_specs)) + (alt_lnl,)
 
             def solve_null(idx, init):
