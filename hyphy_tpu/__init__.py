@@ -52,12 +52,22 @@ if _platform:
 _effective = (_platform or str(
     getattr(jax.config, "jax_platforms", None) or ""
 )).split(",")[0]
-_on_accelerator = _effective not in ("cpu",) and _effective != "None"
+if not _effective or _effective == "None":
+    # No platform configured anywhere: jax will auto-detect.  Recognize an
+    # accelerator from its plugin environment (still without initializing a
+    # backend) so the cache is not silently skipped on auto-detected TPUs.
+    _effective = ""
+    if any(k.startswith(("TPU_", "PALLAS_AXON")) for k in os.environ):
+        _effective = "tpu"
+_on_accelerator = bool(_effective) and _effective != "cpu"
 _cache_dir = os.environ.get(
     "HYPHY_TPU_XLA_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "hyphy_tpu", "xla"),
 )
-if _cache_dir and _cache_dir != "0" and _on_accelerator and _effective:
+# an explicitly set HYPHY_TPU_XLA_CACHE is an unconditional opt-in
+_explicit_cache = bool(os.environ.get("HYPHY_TPU_XLA_CACHE", "")) and \
+    os.environ.get("HYPHY_TPU_XLA_CACHE") != "0"
+if _cache_dir and _cache_dir != "0" and (_on_accelerator or _explicit_cache):
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -233,6 +233,33 @@ class BSRELEngine:
             sll.astype(self.pattern_weights.dtype), self.pattern_weights
         )
 
+    def _per_class_propagators(self, params, omegas, times):
+        """[C, B, K, S, S] unmixed per-class propagators at srv-scaled
+        times — spectral in fp64, shared-power Taylor otherwise (fp32
+        ``eigh`` on 61-state codon generators loses ~1e-2 absolute; the
+        same guard :meth:`mixture_propagators` applies)."""
+        g, k = omegas.shape
+        m = self._family_generators(params, omegas)              # [G*K, S, S]
+        s = m.shape[-1]
+        c, b = times.shape
+        gb = self.group_of_branch
+        if m.dtype == jnp.float64:
+            left, lam, right = expm_ops.reversible_spectral(m, self.freqs)
+            left = left.reshape(g, k, s, s)[gb]                  # [B,K,S,S]
+            right = right.reshape(g, k, s, s)[gb]
+            lam_b = lam.reshape(g, k, s)[gb]                     # [B,K,S]
+            el = jnp.exp(lam_b[None] * times[:, :, None, None])  # [C,B,K,S]
+            p = jnp.einsum("bkij,cbkj,bkjl->cbkil", left, el, right)
+        else:
+            flat_t = times.reshape(-1).astype(m.dtype)           # [C*B]
+            p_f = jax.vmap(
+                lambda mf: expm_ops.shared_taylor_propagators(mf, flat_t)
+            )(m)                                                 # [G*K,C*B,S,S]
+            p_f = p_f.reshape(g, k, c, b, s, s)
+            p_sel = p_f[gb, :, :, jnp.arange(b)]                 # [B,K,C,S,S]
+            p = jnp.transpose(p_sel, (2, 0, 1, 3, 4))            # [C,B,K,S,S]
+        return expm_ops.row_renormalize(jnp.maximum(p, 0.0))
+
     def branch_class_site_logliks(
         self, params, omegas, weights, t_b, srv_rates, srv_weights,
         children, branch_ids,
@@ -253,23 +280,15 @@ class BSRELEngine:
         """
         from hyphy_tpu.ops.ancestral import branch_flux_vectors
 
-        g, k = omegas.shape
-        m = self._family_generators(params, omegas)              # [G*K, S, S]
-        left, lam, right = expm_ops.reversible_spectral(m, self.freqs)
-        s = m.shape[-1]
-        left = left.reshape(g, k, s, s)[self.group_of_branch]    # [B,K,S,S]
-        right = right.reshape(g, k, s, s)[self.group_of_branch]
-        lam_b = lam.reshape(g, k, s)[self.group_of_branch]       # [B,K,S]
         w_b = weights[self.group_of_branch]                      # [B,K]
         c_srv = srv_rates.shape[0]
         times = srv_rates[:, None] * t_b[None, :]                # [C, B]
+        p_all = self._per_class_propagators(params, omegas, times)
 
         out = []
         for ci in range(c_srv):
             # mixed propagators for this srv class (all branches)
-            el = jnp.exp(lam_b * times[ci][:, None, None])       # [B,K,S]
-            el_w = el * w_b[:, :, None]
-            p_mix = jnp.einsum("bkij,bkj,bkjl->bil", left, el_w, right)
+            p_mix = jnp.einsum("bkij,bk->bij", p_all[ci], w_b)
             p_mix = expm_ops.row_renormalize(jnp.maximum(p_mix, 0.0))
             clv, log_clv, up, log_up = branch_flux_vectors(
                 p_mix, self.leaf_partials, self.freqs, self.pdata, children
@@ -277,10 +296,7 @@ class BSRELEngine:
             # per selected branch: per-class propagator [K,S,S]
             sel = []
             for b in [int(x) for x in branch_ids]:
-                p_k = jnp.einsum(
-                    "kij,kj,kjl->kil", left[b], el[b], right[b]
-                )
-                p_k = expm_ops.row_renormalize(jnp.maximum(p_k, 0.0))
+                p_k = p_all[ci, b]
                 flux = jnp.einsum(
                     "pi,kij,pj->kp", up[b], p_k, clv[b]
                 )                                               # [K, patterns]

@@ -49,13 +49,44 @@ def _level_kernel(cc_ref, cp_ref, out_ref, *, arity):
     out_ref[0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("arity",))
+def _einsum_impl(cc: jnp.ndarray, cp: jnp.ndarray):
+    """Reference einsum formulation of the level step (used as the VJP
+    backward: ``pallas_call`` has no autodiff rule, and gradient-based
+    fits differentiate the default ``loglik`` dispatch this kernel can
+    sit inside when ``HYPHY_TPU_PALLAS=1``)."""
+    contrib = jnp.einsum(
+        "wkij,wkpj->wkpi", cp, cc,
+        preferred_element_type=cc.dtype, precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.prod(contrib, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def level_products(cc: jnp.ndarray, cp: jnp.ndarray, arity: int):
     """[W, patterns, S] sibling-product messages for one level.
 
     ``cc``: [W, K, patterns, S] gathered child CLVs; ``cp``: [W, K, S, S]
-    child transition matrices, both fp32.
+    child transition matrices, both fp32.  Differentiable: the forward
+    runs the Pallas kernel, the backward falls back to the einsum
+    formulation (numerically identical).
     """
+    return _forward(cc, cp, arity=arity)
+
+
+def _level_products_fwd(cc, cp, arity):
+    return _forward(cc, cp, arity=arity), (cc, cp)
+
+
+def _level_products_bwd(arity, res, g):
+    _, vjp = jax.vjp(_einsum_impl, *res)
+    return vjp(g)
+
+
+level_products.defvjp(_level_products_fwd, _level_products_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("arity",))
+def _forward(cc: jnp.ndarray, cp: jnp.ndarray, arity: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

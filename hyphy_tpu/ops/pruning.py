@@ -180,8 +180,8 @@ def _site_log_likelihoods_unrolled(
     if dtype == jnp.float32 and __import__("os").environ.get(
         "HYPHY_TPU_PALLAS"
     ) == "1":
-        # opt-in fused level kernel (forward-only: no custom VJP yet —
-        # gradient-taking callers keep the einsum path)
+        # opt-in fused level kernel; differentiable via a custom VJP whose
+        # backward is the einsum formulation (pallas_call has no AD rule)
         from hyphy_tpu.ops import pallas_pruning
 
         use_pallas = pallas_pruning.available()
