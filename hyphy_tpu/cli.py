@@ -73,6 +73,24 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["Variational-Bayes", "Collapsed-Gibbs"])
     p.add_argument("--concentration_parameter", type=float, default=0.5)
 
+    p = sub.add_parser(
+        "b-still",
+        help="Bayesian Significance Test of Invariant Low Likelihoods",
+    )
+    common_args(p)
+    p.add_argument("--branches", default="All")
+    p.add_argument("--grid", type=int, default=20)
+    p.add_argument("--method", dest="posterior_method", default="Variational-Bayes",
+                   choices=["Variational-Bayes", "Collapsed-Gibbs"])
+    p.add_argument("--concentration_parameter", type=float, default=0.5)
+    p.add_argument("--non-zero", dest="non_zero", default="No",
+                   help="enforce non-zero synonymous rates on the grid")
+    p.add_argument("--ebf", type=float, default=10.0,
+                   help="EBF threshold for reporting proximal invariance")
+    p.add_argument("--radius-threshold", dest="radius_threshold", type=float,
+                   default=0.5,
+                   help="substitution-scale radius defining 'proximal to 0'")
+
     p = sub.add_parser("busted", help="Branch-Site Unrestricted Statistical Test")
     common_args(p)
     p.add_argument("--branches", default="All")
@@ -242,6 +260,13 @@ def main(argv=None) -> int:
         result = mod.run(args.alignment, args.code, tree, args.branches,
                          grid_points=args.grid, method=args.posterior_method,
                          concentration=args.concentration_parameter)
+    elif method == "b-still":
+        from hyphy_tpu.methods import bstill as mod
+        result = mod.run(args.alignment, args.code, tree, args.branches,
+                         grid_points=args.grid, method=args.posterior_method,
+                         concentration=args.concentration_parameter,
+                         non_zero=_bool(args.non_zero), ebf_threshold=args.ebf,
+                         radius_threshold=args.radius_threshold)
     elif method == "busted":
         from hyphy_tpu.methods import busted as mod
         result = mod.run(args.alignment, args.code, tree, args.branches,

@@ -53,6 +53,100 @@ def alpha_beta_grid(points: int = 20, non_zero: bool = False) -> np.ndarray:
     return grid
 
 
+def grid_site_loglik_matrix(
+    data: common.LoadedData,
+    grid: np.ndarray,
+    precision: float = 1e-5,
+    cache: Optional[str] = None,
+    fingerprint_extra: str = "",
+):
+    """[G, patterns] site log-likelihood vectors over an (alpha, beta)
+    grid — phases 1-2 shared by the FUBAR family (FUBAR, FADE's ancestor,
+    B-STILL): GTR fit -> branch scaling -> one batched pruning call per
+    grid point, grid-sharded over the mesh (reference: ``ComputeOnGrid``,
+    ``modules/grid_compute.ibf:3-52``).
+
+    Returns ``(sll [G, patterns], gtr, rate_syn, rate_non)`` where the
+    unit rates satisfy blexpr(alpha, beta) = alpha*rate_syn +
+    beta*rate_non (the model's branch-length expression at the GTR
+    thetas, ``matrix.cpp:2644``).
+    """
+    gc = data.genetic_code
+    filt = data.codon_filter
+
+    if cache is not None and not cache.endswith(".npz"):
+        cache = cache + ".npz"
+    fingerprint = "|".join([
+        str(filt.n_patterns), str(data.tree.n_leaves),
+        data.genetic_code.name, fingerprint_extra,
+    ])
+    grid_key = np.asarray(grid, np.float64)
+    cached = None
+    if cache is not None and os.path.exists(cache):
+        loaded = np.load(cache)
+        if (
+            "fingerprint" in loaded.files
+            and str(loaded["fingerprint"]) == fingerprint
+            and "grid" in loaded.files
+            and loaded["grid"].shape == grid_key.shape
+            and np.allclose(loaded["grid"], grid_key)
+        ):
+            cached = loaded
+
+    gtr = common.fit_gtr(data, precision=precision)
+    corners, codon_freqs = freq_mod.cf3x4(filt, gc)
+    model = MG94Base(gc, corners, codon_freqs)
+    theta = {k: jnp.asarray(v) for k, v in gtr.params.items() if k.startswith("theta")}
+    q_syn, q_non = model.basis_matrices(theta)
+    rate_syn, rate_non = model.syn_nonsyn_unit_rates(theta)
+    if cached is not None:
+        return np.asarray(cached["sll"]), gtr, float(rate_syn), float(rate_non)
+
+    freqs = model.frequencies
+    pdata = pruning.build_pruning_data(data.tree)
+    lp = jnp.asarray(filt.leaf_partials())
+    weights = jnp.asarray(filt.pattern_weights)
+
+    # branch scale solving BL(alpha=beta=c) = 3 * gtr_bl against the raw
+    # (un-divided) branch length expression (fubar.scalers.SetBranchLength:
+    # FindRoot) => c = 3 * bl / (rate_syn + rate_non); verified against the
+    # reference binary's "best scaling (1,1)" on CD2
+    c_b = jnp.asarray(3.0 * gtr.branch_lengths / float(rate_syn + rate_non))
+    n_grid = len(grid)
+    grid_j = jnp.asarray(grid)
+
+    def make_solver(c_b):
+        def grid_site_logliks(i, _init):
+            def one(g):
+                a, b = grid_j[g, 0], grid_j[g, 1]
+                m = fill_diagonal_from_rows(a * q_syn + b * q_non)
+                left, lam, right = expm_ops.reversible_spectral(m, freqs)
+                p = expm_ops.spectral_propagators(left, lam, right, c_b)
+                return pruning.site_log_likelihoods(p, lp, freqs, pdata)
+
+            return (jax.vmap(one)(i),)
+
+        return grid_site_logliks
+
+    # pass 1: best overall scaling on the grid (FUBAR.bf:280-292)
+    (sll,) = sharded_site_solve(make_solver(c_b), {}, n_grid)
+    total = sll @ np.asarray(weights)
+    best = int(np.argmax(total))
+    a_hat, b_hat = grid[best]
+    # rebase branch scales at the best grid point: the per-branch synRate
+    # values at (a_hat, b_hat) become the new proportionality constants
+    c_rebased = float((a_hat * rate_syn + b_hat * rate_non) / (rate_syn + rate_non))
+    c_b = c_b * c_rebased
+
+    # pass 2: conditional site likelihood vectors on the rebased tree
+    (sll,) = sharded_site_solve(make_solver(c_b), {}, n_grid)
+    if cache is not None:
+        np.savez(
+            cache, sll=np.asarray(sll), grid=grid_key, fingerprint=fingerprint,
+        )
+    return np.asarray(sll), gtr, float(rate_syn), float(rate_non)
+
+
 @dataclasses.dataclass
 class FUBARResult:
     json: Dict
@@ -83,84 +177,15 @@ def run(
     FUBAR.bf:160-236) holding the grid and conditional likelihood vectors;
     phases 1-2 are skipped when it exists and matches the settings."""
     data = common.load_codon_data(alignment, genetic_code, tree, branches)
-
-    gc = data.genetic_code
     filt = data.codon_filter
 
-    # np.savez always appends '.npz'; normalize once so the resume check
-    # and the save agree on the same path
-    if cache is not None and not cache.endswith(".npz"):
-        cache = cache + ".npz"
-    # dataset fingerprint: a checkpoint from a different alignment / tree /
-    # branch set must not be silently accepted (reference FUBAR.bf:160-236
-    # stores settings in the cache and re-validates them)
-    fingerprint = "|".join([
-        os.path.basename(alignment), str(filt.n_patterns),
-        str(data.tree.n_leaves), branches, genetic_code,
-    ])
-    cached = None
-    if cache is not None and os.path.exists(cache):
-        loaded = np.load(cache)
-        if (
-            int(loaded["grid_points"]) == grid_points
-            and "fingerprint" in loaded.files
-            and str(loaded["fingerprint"]) == fingerprint
-        ):
-            cached = loaded
-
-    gtr = common.fit_gtr(data, precision=precision)
-    corners, codon_freqs = freq_mod.cf3x4(filt, gc)
-    model = MG94Base(gc, corners, codon_freqs)
-    theta = {k: jnp.asarray(v) for k, v in gtr.params.items() if k.startswith("theta")}
-    q_syn, q_non = model.basis_matrices(theta)
-    rate_syn, rate_non = model.syn_nonsyn_unit_rates(theta)
-    freqs = model.frequencies
-    pdata = pruning.build_pruning_data(data.tree)
-    lp = jnp.asarray(filt.leaf_partials())
-    weights = jnp.asarray(filt.pattern_weights)
-
-    # branch scale solving BL(alpha=beta=c) = 3 * gtr_bl against the raw
-    # (un-divided) branch length expression (fubar.scalers.SetBranchLength:
-    # FindRoot) => c = 3 * bl / (rate_syn + rate_non); verified against the
-    # reference binary's "best scaling (1,1)" on CD2
-    c_b = jnp.asarray(3.0 * gtr.branch_lengths / float(rate_syn + rate_non))
-
     grid = alpha_beta_grid(grid_points)
-    n_grid = len(grid)
-    grid_j = jnp.asarray(grid)
-
-    def grid_site_logliks(i, _init):
-        """Site (pattern) log-likelihood vector at grid point(s) i."""
-
-        def one(g):
-            a, b = grid_j[g, 0], grid_j[g, 1]
-            m = fill_diagonal_from_rows(a * q_syn + b * q_non)
-            left, lam, right = expm_ops.reversible_spectral(m, freqs)
-            p = expm_ops.spectral_propagators(left, lam, right, c_b)
-            return pruning.site_log_likelihoods(p, lp, freqs, pdata)
-
-        return (jax.vmap(one)(i),)
-
-    if cached is not None:
-        sll = np.asarray(cached["sll"])
-    else:
-        # pass 1: best overall scaling on the grid (FUBAR.bf:280-292)
-        (sll,) = sharded_site_solve(grid_site_logliks, {}, n_grid)
-        total = sll @ np.asarray(weights)
-        best = int(np.argmax(total))
-        a_hat, b_hat = grid[best]
-        # rebase branch scales at the best grid point: the per-branch synRate
-        # values at (a_hat, b_hat) become the new proportionality constants
-        c_rebased = float((a_hat * rate_syn + b_hat * rate_non) / (rate_syn + rate_non))
-        c_b = c_b * c_rebased
-
-        # pass 2: conditional site likelihood vectors on the rebased tree
-        (sll,) = sharded_site_solve(grid_site_logliks, {}, n_grid)
-        if cache is not None:
-            np.savez(
-                cache, sll=np.asarray(sll), grid_points=grid_points,
-                fingerprint=fingerprint,
-            )
+    sll, gtr, _, _ = grid_site_loglik_matrix(
+        data, grid, precision=precision, cache=cache,
+        fingerprint_extra="|".join(
+            [os.path.basename(alignment), branches, "fubar"]
+        ),
+    )
 
     # expand patterns -> sites; normalize per site (ConvertToConditionals)
     sll_sites = sll[:, filt.duplicate_map]               # [G, sites]

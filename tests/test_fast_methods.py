@@ -68,6 +68,43 @@ class TestSiteMethodsFast:
         r = fubar.run(tiny["fasta"], tree=tiny["tree"], grid_points=5)
         assert np.isfinite(np.asarray(r.json["MLE"]["content"]["0"])).all()
 
+    def test_bstill(self, tiny):
+        from hyphy_tpu.methods import bstill
+
+        r = bstill.run(tiny["fasta"], tree=tiny["tree"], grid_points=5)
+        st = r.site_table
+        assert st.shape == (N_CODONS, 14)
+        assert np.isfinite(st).all()
+        # grid is denser near zero than FUBAR's and contains exact 0
+        g = r.grid
+        assert ((g[:, 0] == 0) & (g[:, 1] == 0)).sum() == 1
+        one_d = np.unique(g[:, 0])
+        assert one_d[1] < 0.2  # quadratic spacing: second point near 0
+        # posterior masses are probabilities; mixing the 4 stencil masses
+        # stays within [0, 1]
+        for c in (2, 3, 4, 5, 6):
+            assert ((st[:, c] >= -1e-9) & (st[:, c] <= 1 + 1e-9)).all()
+        # P[inv] <= P[a0] and <= P[b0] (inv stencil is their intersection)
+        assert (st[:, 2] <= st[:, 3] + 1e-12).all()
+        assert (st[:, 2] <= st[:, 4] + 1e-12).all()
+        # EBF columns are consistent with their posterior columns
+        assert (st[st[:, 12] >= 10.0, 5] > 0.1).all()
+        names = [h[0] for h in r.json["MLE"]["headers"]]
+        assert names[12] == "EBF[alpha,beta~0]"
+
+    def test_bstill_non_zero_grid(self, tiny):
+        from hyphy_tpu.methods.bstill import bstill_grid
+
+        g = bstill_grid(5, non_zero=True)
+        assert g[:, 0].min() >= 1e-3
+        g0 = bstill_grid(20, non_zero=False)
+        # reference grid shape: 70% of 1-D points quadratic in [0,1]
+        one_d = np.unique(g0[:, 0])
+        assert len(one_d) == 20 and one_d[0] == 0.0
+        neg = 14
+        assert np.allclose(one_d[:neg], (np.arange(neg) / (neg - 1)) ** 2)
+        assert one_d[-1] > 49.0
+
     def test_contrast_fel(self, tiny):
         from hyphy_tpu.methods import contrast_fel
 
