@@ -119,14 +119,37 @@ def run_bench():
     lp = jnp.asarray(leaf_np.astype("float32" if dtype == jnp.float32 else "float64"))
     w = jnp.asarray(filt.pattern_weights, dtype=dtype)
     f = jax.jit(loglik)
-    # warmup / compile
+
+    # timing loop as ONE on-device lax.scan: each eval's scale chains off
+    # the previous result (no iteration can be cached or elided) and no
+    # per-eval host->device traffic happens.  Per-dispatch timing through a
+    # remote-tunneled accelerator measures the tunnel (~15 ms/call transfer
+    # latency for each fresh scalar — observed swamping the ~13 ms device
+    # time); the chip-throughput metric this benchmark reports must time
+    # the chip.
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def scan_evals(params, lp, w, n, base):
+        def step(carry, i):
+            s = base + 1e-4 * i.astype(dtype) + 1e-15 * carry.astype(dtype)
+            return loglik(params, lp, w, s), None
+
+        last, _ = jax.lax.scan(
+            step, jnp.zeros((), jnp.float64), jnp.arange(n, dtype=jnp.int32)
+        )
+        return last
+
+    # warmup / compile (both programs)
     v = f(params, lp, w, jnp.asarray(1.0, dtype))
     v.block_until_ready()
     lnl_dev = float(v)
+    base = jnp.asarray(1.0, dtype)
+    scan_evals(params, lp, w, N_EVALS, base).block_until_ready()
     t0 = time.time()
-    for k in range(N_EVALS):
-        v = f(params, lp, w, jnp.asarray(1.0 + 1e-4 * (k + 1), dtype))
-    v.block_until_ready()
+    scan_evals(
+        params, lp, w, N_EVALS, base * jnp.asarray(1.0000019, dtype)
+    ).block_until_ready()
     dt = time.time() - t0
     evals_per_sec = N_EVALS / dt
     value = n_patterns * evals_per_sec

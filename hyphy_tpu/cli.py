@@ -25,6 +25,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sub = parser.add_subparsers(dest="method", required=True)
 
+    pw = sub.add_parser(
+        "warmup",
+        help="prime the XLA compilation cache for a method on given inputs: "
+             "runs the full pipeline with every optimizer capped to one "
+             "device chunk, compiling the exact programs the real run uses "
+             "(iteration caps are runtime scalars, so the HLO is identical). "
+             "A cold first run on fresh hardware pays compile latency the "
+             "reference binary does not have; 'warmup' then the real run "
+             "removes it.  Usage: hyphy-tpu warmup fel --alignment ...",
+    )
+    pw.add_argument("target", help="method to warm up (fel, meme, busted, ...)")
+    pw.add_argument("rest", nargs=argparse.REMAINDER,
+                    help="arguments passed through to the method")
+
     def common_args(p):
         p.add_argument("--alignment", required=True, help="in-frame codon alignment (FASTA/NEXUS/PHYLIP)")
         p.add_argument("--tree", default=None, help="newick tree (file or string; default: tree in the alignment file)")
@@ -233,6 +247,27 @@ def main(argv=None) -> int:
     from hyphy_tpu.io.json_out import write_json
 
     method = args.method
+    if method == "warmup":
+        import time as _time
+
+        from hyphy_tpu.config import settings
+
+        settings.warmup = True
+        t0 = _time.time()
+        sub_argv = [args.target] + list(args.rest)
+        # the warmed run writes its (meaningless) JSON to a .warmup path so
+        # a real result file is never clobbered
+        if "--output" not in sub_argv:
+            try:
+                aln = sub_argv[sub_argv.index("--alignment") + 1]
+                sub_argv += ["--output", f"{aln}.{args.target.upper()}.warmup.json"]
+            except (ValueError, IndexError):
+                pass
+        rc = main(sub_argv)
+        settings.warmup = False
+        print(f"warmup complete in {_time.time() - t0:.1f}s: XLA compilation "
+              f"cache primed for '{args.target}' on these inputs")
+        return rc
     tree = _read_tree_arg(getattr(args, "tree", None))
     t0 = time.time()
 

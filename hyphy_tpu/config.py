@@ -46,6 +46,43 @@ class Settings:
     count_gaps_in_frequencies: bool = _env("COUNT_GAPS_IN_FREQUENCIES", False, bool)
     # verbosity (reference: VERBOSITY_LEVEL)
     verbosity: int = _env("VERBOSITY", 0, int)
+    # warmup mode: run every optimizer for ~one device chunk only, so a
+    # full analysis pipeline traces + compiles every XLA program it would
+    # use (priming the persistent compilation cache) without paying the
+    # compute.  Driven by `hyphy-tpu warmup <method> ...`; the compiled
+    # programs are IDENTICAL to the real run's (iteration caps are runtime
+    # scalars, not HLO constants), so the real run is then fully warm.
+    warmup: bool = _env("WARMUP", False, bool)
+
+    def default_mesh(self, for_dtype=None):
+        """The session's default 1-D ``sites`` mesh, or ``None``.
+
+        The reference engages its MPI optimizer modes automatically inside
+        ``Optimize`` (``InitMPIOptimizer``, ``likefunc.cpp:3747``) — the
+        user never asks for distribution.  This is the SPMD analogue:
+        every ``LikelihoodFunction`` / ``BSRELEngine`` built by an
+        analysis shards its pattern axis over this mesh when more than one
+        device is visible.  ``HYPHY_TPU_MESH=off`` disables; the fp64
+        host-parity stages on an accelerator session (``for_dtype`` fp64
+        while the backend is not cpu) stay unsharded — they deliberately
+        run on the host CPU device.
+        """
+        mode = os.environ.get("HYPHY_TPU_MESH", "auto").lower()
+        if mode in ("0", "off", "none", "no"):
+            return None
+        devices = jax.devices()
+        if len(devices) < 2:
+            return None
+        if (
+            for_dtype is not None
+            and jnp.dtype(for_dtype) == jnp.float64
+            and jax.default_backend() != "cpu"
+        ):
+            return None
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        return Mesh(_np.array(devices), ("sites",))
 
     def likelihood_dtype(self) -> jnp.dtype:
         """Compute dtype for the likelihood path.

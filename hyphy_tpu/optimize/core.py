@@ -78,8 +78,15 @@ def maximize(
             relative_floor=5e-7,
         )
     from scipy.optimize import minimize
+
+    from hyphy_tpu.config import settings
+
     if max_iterations is None:
         max_iterations = max(500, 30 * n_free)
+    if settings.warmup:
+        # compile-prime only: the jitted value_and_grad is the only XLA
+        # program on this path
+        max_iterations = min(max_iterations, 3)
 
     init = clip_to_bounds(
         {k: jnp.asarray(init[k], jnp.float64) for k in specs}, specs
@@ -340,12 +347,15 @@ def maximize_jax(
         u = carry[0]
         return to_bounded(u, specs), -loss(u), carry[3]
 
+    from hyphy_tpu.config import settings
+
     it_done = 0
     while it_done < max_iterations:
         it_limit = min(it_done + chunk, max_iterations)
         carry, conv = run_chunk(carry, jnp.asarray(it_limit, jnp.int32))
         it_done = it_limit
-        if bool(conv):
+        if bool(conv) or settings.warmup:
+            # warmup: every program is compiled after one chunk; stop
             break
     final, final_value, it = finish(carry)
     return final, -final_value, it

@@ -194,13 +194,16 @@ def _batched_nelder_mead(
             out = jax.lax.while_loop(chunk_cond, body, carry)
             return out, cond(out)
 
+        from hyphy_tpu.config import settings
+
         carry = (simplex, values, jnp.zeros((), jnp.int32))
         it_done = 0
         while it_done < max_iterations:
             it_limit = min(it_done + chunk, max_iterations)
             carry, more = run_chunk(carry, jnp.asarray(it_limit, jnp.int32))
             it_done = it_limit
-            if not bool(more):
+            if not bool(more) or settings.warmup:
+                # warmup: one chunk compiles every program on this path
                 break
         simplex, values, _ = carry
     best_idx = jnp.argmax(values, axis=1)                  # [N]
