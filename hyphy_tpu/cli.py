@@ -88,6 +88,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--concentration_parameter", type=float, default=0.5)
 
     p = sub.add_parser(
+        "simulate",
+        help="simulate codon alignments from the MG94xREV fit of the input "
+             "(SimulateDataSet, likefunc.cpp:12584)",
+    )
+    common_args(p)
+    p.add_argument("--branches", default="All")
+    p.add_argument("--replicates", type=int, default=1)
+    p.add_argument("--sites", type=int, default=None,
+                   help="codons per replicate (default: input length)")
+    p.add_argument("--sim-omega", dest="sim_omega", type=float, default=None,
+                   help="override the fitted omega for the generating model")
+    p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser(
         "b-still",
         help="Bayesian Significance Test of Invariant Low Likelihoods",
     )
@@ -295,6 +309,13 @@ def main(argv=None) -> int:
         result = mod.run(args.alignment, args.code, tree, args.branches,
                          grid_points=args.grid, method=args.posterior_method,
                          concentration=args.concentration_parameter)
+    elif method == "simulate":
+        from hyphy_tpu.methods import simulate as mod
+        result = mod.run(args.alignment, args.code, tree, args.branches,
+                         replicates=args.replicates, sites=args.sites,
+                         omega=args.sim_omega, seed=args.seed,
+                         output=(args.output.rsplit(".json", 1)[0]
+                                 if args.output else None))
     elif method == "b-still":
         from hyphy_tpu.methods import bstill as mod
         result = mod.run(args.alignment, args.code, tree, args.branches,

@@ -222,21 +222,36 @@ class LikelihoodFunction:
         fixed: Optional[Dict[str, jnp.ndarray]] = None,
         precision: Optional[float] = None,
         max_iterations: Optional[int] = None,
+        constraints: Optional[Sequence] = None,
     ) -> "FitResult":
         """Maximize lnL over the free parameters (reference Optimize(),
-        hybrid CG+Brent loop -> here bounded L-BFGS on AD gradients)."""
+        hybrid CG+Brent loop -> here bounded L-BFGS on AD gradients).
+
+        ``constraints``: objects from :mod:`hyphy_tpu.models.constraints`
+        (``Proportional``, ``MolecularClock``) applied in order — each
+        removes its dependent keys from the free set and reconstructs
+        them inside the jitted objective (the reference's
+        ``ReplicateConstraint`` / ``MolecularClock`` dependent-variable
+        machinery, re-evaluated in ``PreCompute``, likefunc.h:419)."""
+        from hyphy_tpu.models.parameters import initial_params as _init_of
         from hyphy_tpu.optimize.core import maximize
 
-        params = dict(self.initial_parameters())
+        constraints = list(constraints or [])
+        specs = dict(self.specs)
+        for c in constraints:
+            specs = c.transform_specs(specs)
+        params = dict(_init_of(specs))
         if init:
             params.update({k: jnp.asarray(v) for k, v in init.items() if k in params})
         fixed = fixed or {}
-        free_specs = {k: v for k, v in self.specs.items() if k not in fixed}
+        free_specs = {k: v for k, v in specs.items() if k not in fixed}
         free_init = {k: params[k] for k in free_specs}
 
         def objective(free: Params) -> jnp.ndarray:
             merged = dict(free)
             merged.update({k: jnp.asarray(v) for k, v in fixed.items()})
+            for c in constraints:
+                merged = c.apply(merged)
             return self.loglik(merged)
 
         best, lnl, n_iter = maximize(
@@ -248,6 +263,8 @@ class LikelihoodFunction:
         )
         final = dict(best)
         final.update({k: jnp.asarray(v) for k, v in fixed.items()})
+        for c in constraints:
+            final = c.apply(final)
         return FitResult(
             params=final,
             loglik=float(lnl),

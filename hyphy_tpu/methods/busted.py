@@ -450,13 +450,23 @@ def run(
 
     omegas, weights, rates, wsrv = unpack(alt_params)
     n_classes = int(omegas.shape[1])  # k, or k+1 with the error sink
+    # reference schema: class-index-keyed dicts with omega/proportion
+    # (BUSTED.bf selection.io.report_dnds) so downstream consumers
+    # (error-filter, clade-support, user tooling) read either binary's
+    # output interchangeably
     rate_dists = {
-        "Test": [[float(omegas[0, i]), float(weights[0, i])] for i in range(n_classes)],
+        "Test": {
+            str(i): {"omega": float(omegas[0, i]),
+                     "proportion": float(weights[0, i])}
+            for i in range(n_classes)
+        },
     }
     if has_background:
-        rate_dists["Background"] = [
-            [float(omegas[1, i]), float(weights[1, i])] for i in range(n_classes)
-        ]
+        rate_dists["Background"] = {
+            str(i): {"omega": float(omegas[1, i]),
+                     "proportion": float(weights[1, i])}
+            for i in range(n_classes)
+        }
     if mh:
         mh_rates = {
             "rate at which 2 nucleotides are changed instantly within a single codon":

@@ -35,13 +35,17 @@ def run(
 ) -> CladeSupportResult:
     with open(json_path) as fh:
         j = json_mod.load(fh)
+    from hyphy_tpu.methods.common import rate_distribution
+
     has_sink = bool(j.get("analysis", {}).get("settings", {}).get("error-sink"))
-    rates = j["fits"]["Unconstrained model"]["Rate Distributions"]["Test"]
+    rates = rate_distribution(
+        j["fits"]["Unconstrained model"]["Rate Distributions"]["Test"]
+    )
     # positive classes: omega > 1, excluding the error-sink class 0
     # (clade_support.bf:40-49)
     positive = np.array([
-        1.0 if (float(r[0]) > 1.0 and not (has_sink and i == 0)) else 0.0
-        for i, r in enumerate(rates)
+        1.0 if (omega > 1.0 and not (has_sink and i == 0)) else 0.0
+        for i, (omega, _w) in enumerate(rates)
     ])
 
     results: Dict = {}
@@ -73,20 +77,28 @@ def run(
             )
             if par_fg:
                 continue
-            # accumulate over the whole subtree rooted at this branch
-            total = 0.0
-            n_branches = 0
-            n_tips = 0
-            stack = [node]
-            while stack:
-                x = stack.pop()
-                n_branches += 1
-                if x < n_leaves:
-                    n_tips += 1
-                total += branch_post.get(names[x], 0.0)
-                stack.extend(tree.children[x])
+            # accumulate over the subtree rooted at this branch, mirroring
+            # the reference's arithmetic EXACTLY (clade_support.bf:110-127),
+            # quirks included — verified against the reference binary's
+            # JSON on CD2 (tests/data/ref_goldens/CD2.CLADESUP.json):
+            #   * the clade ROOT's posterior is counted TWICE (once before
+            #     the subtree loop at :113, once when the subtree
+            #     iteration visits the root itself);
+            #   * "branches" counts the subtree INCLUDING the root;
+            #   * "tips" counts subtree members at depth 1 — the root's
+            #     DIRECT children, not the clade's actual tip count
+            #     (CD2's clades are shallow enough that they coincide).
+            total = 2.0 * branch_post.get(b, 0.0)
             if node < n_leaves:
-                n_tips = max(n_tips, 1)
+                n_branches, n_tips = 1, 1
+            else:
+                n_branches, n_tips = 1, len(tree.children[node])
+                stack = list(tree.children[node])
+                while stack:
+                    x = stack.pop()
+                    n_branches += 1
+                    total += branch_post.get(names[x], 0.0)
+                    stack.extend(tree.children[x])
             clades[b] = total / max(n_branches, 1)
             clade_stats[b] = {"branches": n_branches, "tips": n_tips}
 

@@ -56,6 +56,20 @@ except Exception:  # pragma: no cover
         raise NotImplementedError
 
 
+def rate_distribution(dist):
+    """[(omega, proportion)] from either rate-distribution JSON schema:
+    the reference's class-index-keyed dicts
+    (``{"0": {"omega": .., "proportion": ..}}``, selection.io.report_dnds)
+    or the legacy list-of-pairs this framework emitted before round 5 —
+    post-processors accept both so they run on either binary's output."""
+    if isinstance(dist, dict):
+        return [
+            (float(dist[k]["omega"]), float(dist[k]["proportion"]))
+            for k in sorted(dist, key=int)
+        ]
+    return [(float(r[0]), float(r[1])) for r in dist]
+
+
 @dataclasses.dataclass
 class LoadedData:
     """load_file equivalent (shared-load-file.bf:153)."""

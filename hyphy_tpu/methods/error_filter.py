@@ -57,11 +57,20 @@ def run(
     if not settings.get("error-sink"):
         raise ValueError("no error-sink data in the JSON (run BUSTED with "
                          "error_sink=True first)")
-    dist = j["fits"]["Unconstrained model"]["Rate Distributions"]["Test"]
+    from hyphy_tpu.methods.common import rate_distribution
+
+    dist = rate_distribution(
+        j["fits"]["Unconstrained model"]["Rate Distributions"]["Test"]
+    )
     w_sink = float(dist[0][1])
     w_fast = float(dist[-1][1])
+    # w_sink == 0: the fit put NO mass on the error class, so every
+    # by-site sink posterior is exactly 0 and nothing can be masked (the
+    # reference's BF arithmetic degenerates to 0/0 -> never passes the
+    # threshold; verified against the binary on CD2, which masks nothing)
     prior_odds = 1e100 if w_sink == 0 else w_sink / (1.0 - w_sink)
     prior_ratio = min(1e25, w_sink / max(w_fast, 1e-100))
+    prior_ratio = max(prior_ratio, 1e-100)
 
     n_seq = j["input"]["number of sequences"]
     out_json = {
@@ -130,6 +139,12 @@ def run(
                     pnm = names[tree.parent[node]]
                     states[nm] = entry.get(nm, states[pnm])
                 bd = branch_data.get(nm)
+                # background branches carry no by-site posteriors (the
+                # reference's BUSTED-E json stores them only for the
+                # tested set; error-filter.bf:165 indexes them directly)
+                if bd is not None and "Posterior prob omega class by site" \
+                        not in bd:
+                    bd = None
                 if bd is not None and nm not in masked:
                     post = bd["Posterior prob omega class by site"]
                     p_sink = float(post[0][site])

@@ -285,9 +285,14 @@ def maximize_jax(
         )
         u_new = optax.apply_updates(u, updates)
         improvement = prev_value - value
-        # ``relative_floor`` lifts the convergence threshold to the
-        # objective's evaluation-noise scale (fp32 device paths)
-        prec_eff = jnp.maximum(precision, relative_floor * jnp.abs(value))
+        # per-iteration improvement threshold: 0.1x the requested lnL
+        # precision — matching the host path's scipy ftol scaling
+        # (ftol = precision/|f|*0.1).  The looser `precision` itself let
+        # L-BFGS stop while creeping along ill-conditioned valleys at
+        # ~precision/iter, losing ~0.09 lnL vs scipy on a 44-param MG94
+        # fit (measured).  ``relative_floor`` still lifts the threshold
+        # to the objective's evaluation-noise scale on fp32 devices.
+        prec_eff = jnp.maximum(0.1 * precision, relative_floor * jnp.abs(value))
         flat_count = jnp.where(improvement < prec_eff, flat_count + 1, 0)
         gmax = jnp.max(
             jnp.asarray([jnp.max(jnp.abs(g)) for g in jax.tree_util.tree_leaves(grad)])
@@ -350,12 +355,52 @@ def maximize_jax(
     from hyphy_tpu.config import settings
 
     it_done = 0
+    restarts = 0
+    last_converged_value = None
+    chunk_start_value = None
+    flat_chunks = 0
     while it_done < max_iterations:
         it_limit = min(it_done + chunk, max_iterations)
         carry, conv = run_chunk(carry, jnp.asarray(it_limit, jnp.int32))
         it_done = it_limit
-        if bool(conv) or settings.warmup:
+        if settings.warmup:
             # warmup: every program is compiled after one chunk; stop
             break
+        # chunk-level stall guard: per-iteration improvements compare
+        # against the fp32 evaluation-noise floor, but noise can keep
+        # RESETTING the in-loop flat counter forever (observed: a fp32
+        # 1000-taxon GTR fit churning to the 60k-iteration cap while lnL
+        # noise-walked +-0.16).  Averaged over a whole chunk the noise
+        # cancels: two consecutive chunks that each improve the objective
+        # by less than the requested precision mean the fit is done.
+        value_now = float(carry[2])
+        if chunk_start_value is not None and np.isfinite(value_now):
+            if chunk_start_value - value_now < max(precision, 1e-12):
+                flat_chunks += 1
+            else:
+                flat_chunks = 0
+            if flat_chunks >= 2:
+                break
+        chunk_start_value = value_now
+        if bool(conv):
+            # L-BFGS restart at the stall point with fresh curvature
+            # memory — the same polish the host path's scipy restarts
+            # provide: near-flat ridges scatter patience-based stops by
+            # ~0.1 lnL on many-parameter fits (measured, 44-param MG94),
+            # and a re-initialized memory recovers the remaining ascent.
+            # Stop once a restart fails to improve by > precision.
+            value_now = float(carry[2])
+            if restarts >= 2 or (
+                last_converged_value is not None
+                and last_converged_value - value_now < precision
+            ):
+                break
+            last_converged_value = value_now
+            restarts += 1
+            carry = (
+                carry[0], solver.init(carry[0]), carry[2], carry[3],
+                jnp.zeros((), jnp.int32),
+                jnp.asarray(jnp.inf, jnp.float64),
+            )
     final, final_value, it = finish(carry)
     return final, -final_value, it

@@ -34,8 +34,11 @@ class TestBUSTEDGoldens:
         assert "Evidence Ratios" in j
         rd = j["fits"]["Unconstrained model"]["Rate Distributions"]
         assert "Test" in rd and "Background" in rd
+        # reference schema: class-index-keyed omega/proportion dicts;
         # omega_3 >= 1 class present with a weight
-        assert rd["Test"][-1][0] >= 1.0
+        from hyphy_tpu.methods.common import rate_distribution
+
+        assert rate_distribution(rd["Test"])[-1][0] >= 1.0
 
 
 @pytest.mark.slow
