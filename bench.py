@@ -140,16 +140,17 @@ def run_bench():
         )
         return last
 
-    # warmup / compile (both programs)
-    v = f(params, lp, w, jnp.asarray(1.0, dtype))
-    v.block_until_ready()
-    lnl_dev = float(v)
+    # warmup / compile (both programs); fetches — not block_until_ready —
+    # force completion: the remote relay's readiness signal was observed
+    # returning before execution finished, and a float() of a value that
+    # data-depends on every eval is the only airtight barrier
+    lnl_dev = float(f(params, lp, w, jnp.asarray(1.0, dtype)))
     base = jnp.asarray(1.0, dtype)
-    scan_evals(params, lp, w, N_EVALS, base).block_until_ready()
+    float(scan_evals(params, lp, w, N_EVALS, base))
     t0 = time.time()
-    scan_evals(
+    float(scan_evals(
         params, lp, w, N_EVALS, base * jnp.asarray(1.0000019, dtype)
-    ).block_until_ready()
+    ))
     dt = time.time() - t0
     evals_per_sec = N_EVALS / dt
     value = n_patterns * evals_per_sec
