@@ -261,7 +261,11 @@ def maximize_jax(
     if n_free == 0:
         return dict(init), objective(init), jnp.zeros((), jnp.int32)
     if max_iterations is None:
-        max_iterations = max(200, 30 * n_free)
+        # 30/parameter like the host path, but capped: L-BFGS on a
+        # 2000-branch-length fit converges (or stalls at the fp32 noise
+        # floor) in a few thousand iterations — a 60k cap only gives
+        # pathological non-convergence 60k iterations to burn
+        max_iterations = max(200, min(30 * n_free, 3000))
 
     def loss(u: Params) -> jnp.ndarray:
         value = objective(to_bounded(u, specs))
@@ -296,7 +300,12 @@ def maximize_jax(
         # fit (measured).  ``relative_floor`` still lifts the threshold
         # to the objective's evaluation-noise scale on fp32 devices.
         prec_eff = jnp.maximum(0.1 * precision, relative_floor * jnp.abs(value))
-        flat_count = jnp.where(improvement < prec_eff, flat_count + 1, 0)
+        # nan-robust: a non-finite improvement (inf/nan line-search probe)
+        # must count as STALLED — `improvement < prec_eff` is False for
+        # nan, which would RESET the counter and let a fit churn to the
+        # iteration cap (observed on fp32 1000-taxon gene fits)
+        made_progress = improvement >= prec_eff      # False for nan
+        flat_count = jnp.where(made_progress, 0, flat_count + 1)
         gmax = jnp.max(
             jnp.asarray([jnp.max(jnp.abs(g)) for g in jax.tree_util.tree_leaves(grad)])
         )
@@ -309,9 +318,10 @@ def maximize_jax(
         anchor_value, anchor_it, stall = anchor
         at_window = (it + 1 - anchor_it) >= window
         win_thr = jnp.maximum(precision, 2.0 * relative_floor * jnp.abs(value))
-        stalled_win = (anchor_value - value) < win_thr
+        # nan-robust (see flat_count): nan window-improvement = stalled
+        win_progress = (anchor_value - value) >= win_thr
         stall = jnp.where(
-            at_window, jnp.where(stalled_win, stall + 1, 0), stall
+            at_window, jnp.where(win_progress, 0, stall + 1), stall
         )
         anchor_value = jnp.where(at_window, value, anchor_value)
         anchor_it = jnp.where(at_window, it + 1, anchor_it)
