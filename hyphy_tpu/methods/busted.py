@@ -394,7 +394,9 @@ def run(
             BSRELEngine.class_posteriors(sll_bk, weights_a[0])
         )[:, :, filt.duplicate_map]                          # [n_sel, K+1, sites]
         # branch-level class posterior from the pattern-weighted totals
-        tot = np.asarray(sll_bk) @ np.asarray(filt.pattern_weights)  # [n_sel,K+1]
+        # (engine weights: mesh padding appends zero-weight patterns, so
+        # the padded sll_bk columns contribute nothing)
+        tot = np.asarray(sll_bk) @ np.asarray(engine.pattern_weights)  # [n_sel,K+1]
         logw = np.log(np.maximum(np.asarray(weights_a[0]), 1e-300))
         lp = tot + logw[None, :]
         lp -= lp.max(axis=1, keepdims=True)

@@ -401,12 +401,14 @@ def _run_groups(
     for gi, label in enumerate(ordered):
         mask = tree_obj.select_branches(label)
         group[mask] = gi
-    if (group < 0).any():
-        raise ValueError(
-            "group mode requires every branch to belong to one of the "
-            "given sets (reference can_run_group_mode, RELAX.bf:233-247)"
-        )
     n_groups = len(ordered)
+    # unlabeled branches form the reference's "unclassified (nuisance)
+    # set" (RELAX.bf:264-267, :952-982): their own independent BS_REL
+    # distribution, present identically in alternative and null so it
+    # cancels in the LRT
+    has_unc = bool((group < 0).any())
+    if has_unc:
+        group[group < 0] = n_groups
     data.tested_branches = group == 1
     data.branch_groups = group
 
@@ -425,6 +427,9 @@ def _run_groups(
     specs: Specs = dict(MG94Base.theta_specs())
     specs.update(_omega_specs("ref", k))
     specs.update(_weight_specs("ref", k))
+    if has_unc:
+        specs.update(_omega_specs("unc", k))
+        specs.update(_weight_specs("unc", k))
     for gi in range(1, n_groups):
         specs[f"K_{gi}"] = ParamSpec(init=1.0, lower=0.0, upper=50.0)
     specs["t"] = ParamSpec(init=0.1, lower=0.0, upper=10000.0,
@@ -436,7 +441,11 @@ def _run_groups(
         rows = [om_ref] + [
             jnp.power(om_ref, k_values[gi - 1]) for gi in range(1, n_groups)
         ]
-        return jnp.stack(rows), jnp.broadcast_to(w, (n_groups, k))
+        w_rows = [w] * n_groups
+        if has_unc:
+            rows.append(jnp.maximum(_get_omegas(params, "unc", k), 1e-10))
+            w_rows.append(_get_weights(params, "unc", k))
+        return jnp.stack(rows), jnp.stack(w_rows)
 
     def alt_loglik(params):
         ks = [params[f"K_{gi}"] for gi in range(1, n_groups)]
@@ -456,6 +465,11 @@ def _run_groups(
         )
     for i in range(1, k):
         init[f"ref_w_{i}"] = jnp.asarray(0.6)
+    if has_unc:
+        for i in range(1, k + 1):
+            init[f"unc_omega_{i}"] = init[f"ref_omega_{i}"]
+        for i in range(1, k):
+            init[f"unc_w_{i}"] = jnp.asarray(0.6)
     for gi in range(1, n_groups):
         init[f"K_{gi}"] = jnp.asarray(1.0)
 
@@ -505,6 +519,13 @@ def _run_groups(
         alt_dists[ordered[gi]] = {
             str(i): {"omega": float(om_ref[i] ** kg),
                      "proportion": float(w_ref[i])}
+            for i in range(k)
+        }
+    if has_unc:
+        om_u = np.asarray(_get_omegas(alt_params, "unc", k))
+        w_u = np.asarray(_get_weights(alt_params, "unc", k))
+        alt_dists["Unclassified"] = {
+            str(i): {"omega": float(om_u[i]), "proportion": float(w_u[i])}
             for i in range(k)
         }
 

@@ -341,7 +341,11 @@ def maximize_jax(
     # device call trips remote-accelerator worker watchdogs (observed: the
     # TPU worker is killed mid-call on large gene fits), while a chunk is
     # bounded to ~a minute.
-    chunk = int(__import__("os").environ.get("HYPHY_TPU_DEVICE_CHUNK", "64"))
+    # 256 iterations/chunk: ~1.5 s device time on a 2000-parameter
+    # 1000-taxon fit — well inside remote-worker watchdog limits — while
+    # paying 4x fewer per-chunk convergence fetches (each a full round
+    # trip through a tunneled accelerator)
+    chunk = int(__import__("os").environ.get("HYPHY_TPU_DEVICE_CHUNK", "256"))
 
     @jax.jit
     def run_chunk(carry, it_limit):
