@@ -27,6 +27,7 @@ import time
 N_TAXA = int(os.environ.get("BENCH_TAXA", 1000))
 N_CODONS = int(os.environ.get("BENCH_CODONS", 2048))
 N_EVALS = int(os.environ.get("BENCH_EVALS", 20))
+N_REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
 _BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 _FEL_E2E_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "benchmarks", "fel_e2e.json"
@@ -147,11 +148,19 @@ def run_bench():
     lnl_dev = float(f(params, lp, w, jnp.asarray(1.0, dtype)))
     base = jnp.asarray(1.0, dtype)
     float(scan_evals(params, lp, w, N_EVALS, base))
-    t0 = time.time()
-    float(scan_evals(
-        params, lp, w, N_EVALS, base * jnp.asarray(1.0000019, dtype)
-    ))
-    dt = time.time() - t0
+    # best-of-N: the tunneled accelerator's effective rate swings several-x
+    # run to run (relay contention; the identical cached program was
+    # observed at 12.7 and 33 ms/eval minutes apart) — the min over
+    # repeats estimates the chip, the spread is reported alongside
+    times = []
+    for rep in range(N_REPEATS):
+        t0 = time.time()
+        float(scan_evals(
+            params, lp, w, N_EVALS,
+            base * jnp.asarray(1.0000019 + 1e-7 * rep, dtype)
+        ))
+        times.append(time.time() - t0)
+    dt = min(times)
     evals_per_sec = N_EVALS / dt
     value = n_patterns * evals_per_sec
 
@@ -172,6 +181,7 @@ def run_bench():
         "backend": backend, "dtype": str(np.dtype(dtype)), "taxa": N_TAXA,
         "codons": N_CODONS, "patterns": n_patterns,
         "full_evals_per_sec": round(evals_per_sec, 4),
+        "timing_repeats_ms_per_eval": [round(t / N_EVALS * 1e3, 2) for t in times],
         "lnl_fp64": lnl_fp64,
         "lnl_device": lnl_dev,
         "delta_lnl_abs": round(delta, 6),
