@@ -448,11 +448,27 @@ def single_site_log_likelihood_taylor(
     log_scale = jnp.zeros((), dtype=dtype)
 
     def action(v, rb, jb, g):
-        """expm action for one group's shared matrices on [F, S] rows."""
-        for k in range(n_ladder):
+        """expm action for one group's shared matrices on [F, S] rows.
+
+        The squaring ladder walks only as many bits as the LARGEST ``j``
+        in the batch sets (a ``while_loop``; under the per-site ``vmap``
+        the trip count is the max over sites) — typical site fits have
+        ``t_eff`` of a few, so 1-2 steps run instead of the full depth.
+        Derivative-free callers only (FEL/MEME Nelder-Mead): reverse-mode
+        AD cannot cross a ``while_loop``."""
+        def ladder_cond(carry):
+            k, _ = carry
+            return jnp.logical_and(k < n_ladder, jnp.any((jb >> k) > 0))
+
+        def ladder_step(carry):
+            k, v = carry
             bit = ((jb >> k) & 1).astype(bool)
             mv = jnp.matmul(v, m2p[g, k].T, precision=_PRECISION)
-            v = jnp.where(bit[:, None], mv, v)
+            return k + 1, jnp.where(bit[:, None], mv, v)
+
+        _, v = jax.lax.while_loop(
+            ladder_cond, ladder_step, (jnp.zeros((), jnp.int32), v)
+        )
         acc = v
         for k in range(n_terms, 0, -1):
             acc = v + (rb / k)[:, None] * jnp.matmul(
