@@ -271,7 +271,16 @@ def maximize_jax(
         value = objective(to_bounded(u, specs))
         return jnp.where(jnp.isfinite(value), -value, jnp.inf)
 
-    solver = optax.lbfgs(memory_size=memory_size)
+    # 8 zoom steps, not optax's 15: near convergence the search direction
+    # stops being a descent direction at the noise floor and every such
+    # iteration exhausts the full budget (measured: the tail of a
+    # 2000-parameter gene fit spends most of its wall-clock inside failing
+    # line searches) — 8 halves that cost and a well-scaled L-BFGS step
+    # accepts in 1-2 probes anyway
+    solver = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=8),
+    )
     value_and_grad = optax.value_and_grad_from_state(loss)
 
     # stop after `patience` consecutive sub-precision improvements, but only
@@ -396,6 +405,12 @@ def maximize_jax(
 
     from hyphy_tpu.config import settings
 
+    import os as _os2
+    import sys as _sys2
+    import time as _time2
+
+    _verbose = int(_os2.environ.get("HYPHY_TPU_VERBOSITY", "0") or 0) >= 1
+    _t_start = _time2.time()
     it_done = 0
     restarts = 0
     last_converged_value = None
@@ -403,6 +418,14 @@ def maximize_jax(
         it_limit = min(it_done + chunk, max_iterations)
         carry, conv = run_chunk(carry, jnp.asarray(it_limit, jnp.int32))
         it_done = it_limit
+        if _verbose:
+            print(
+                f"[maximize_jax +{_time2.time() - _t_start:.1f}s] "
+                f"it<=({int(carry[3])}/{it_limit}) lnL={-float(carry[2]):.4f} "
+                f"gmax={float(carry[5]):.3g} conv={bool(conv)} "
+                f"restarts={restarts}",
+                file=_sys2.stderr, flush=True,
+            )
         if settings.warmup:
             # warmup: every program is compiled after one chunk; stop
             break
@@ -414,9 +437,18 @@ def maximize_jax(
             # and a re-initialized memory recovers the remaining ascent.
             # Stop once a restart fails to improve by > precision.
             value_now = float(carry[2])
+            # a restart must beat the EVALUATION-NOISE scale, not just the
+            # requested precision: on fp32 devices relative_floor*|lnL| is
+            # the smallest trustworthy improvement (a 1000-taxon gene fit
+            # was observed paying two restarts for 0.2 lnL each — under
+            # its own ~0.08 noise floor per window, minutes of wall-clock
+            # for nothing)
+            restart_thr = max(
+                precision, 2.0 * relative_floor * abs(value_now)
+            )
             if restarts >= 2 or (
                 last_converged_value is not None
-                and last_converged_value - value_now < precision
+                and last_converged_value - value_now < restart_thr
             ):
                 break
             last_converged_value = value_now
