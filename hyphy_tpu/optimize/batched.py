@@ -32,12 +32,19 @@ def grid_best_starts(
     if isinstance(idx, int):
         idx = jnp.arange(idx)
 
-    def eval_point(g_params):
-        return jax.vmap(lambda i: objective(i, g_params))(idx)  # [N]
+    # ONE jitted program: evaluated eagerly this is hundreds of
+    # per-primitive device dispatches (each a full round trip on a
+    # tunneled accelerator — minutes of pure latency per analysis)
+    @jax.jit
+    def _grid_values(grid, idx):
+        def eval_point(g_params):
+            return jax.vmap(lambda i: objective(i, g_params))(idx)  # [N]
 
-    values = jax.vmap(eval_point)(grid)  # [G, N]
-    best = jnp.argmax(values, axis=0)    # [N]
-    return {k: v[best] for k, v in grid.items()}, values
+        values = jax.vmap(eval_point)(grid)  # [G, N]
+        best = jnp.argmax(values, axis=0)    # [N]
+        return {k: v[best] for k, v in grid.items()}, values
+
+    return _grid_values(grid, idx)
 
 
 def vmapped_maximize(

@@ -71,14 +71,20 @@ def _batched_nelder_mead(
     n_items, n = u0.shape
     dtype = u0.dtype
 
-    # initial simplex: u0 plus a step along each axis -> [N, n+1, n]
+    # initial simplex: u0 plus a step along each axis -> [N, n+1, n].
+    # The n+1 objective sweeps run as ONE jitted program — eager, each is
+    # hundreds of per-primitive dispatches through a tunneled accelerator
+    @jax.jit
+    def _init_values(simplex):
+        return jnp.stack(
+            [f_batch(simplex[:, k, :]) for k in range(n + 1)], axis=1
+        )  # [N, n+1]
+
     offsets = jnp.concatenate(
         [jnp.zeros((1, n), dtype), initial_step * jnp.eye(n, dtype=dtype)], axis=0
     )
     simplex = u0[:, None, :] + offsets[None, :, :]
-    values = jnp.stack(
-        [f_batch(simplex[:, k, :]) for k in range(n + 1)], axis=1
-    )  # [N, n+1]
+    values = _init_values(simplex)
 
     tol = jnp.asarray(tol, dtype)
 
